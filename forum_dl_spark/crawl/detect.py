@@ -1,0 +1,131 @@
+"""Engine detection — the probe cascade (forum_dl/extractors/__init__.py:27-37).
+
+Probes run in the reference's fixed module order (lines 12-24) with the
+reference's per-engine probe URLs and cached-session semantics, so the
+probe fetches recorded into ``pages``/``seen`` match the reference trace
+byte-for-byte.
+
+Detection is per-seed and sequential by nature (first match wins, ≤11
+fetches); for multi-seed crawls it is embarrassingly parallel across seeds
+(each seed can run inside a ``mapInPandas`` batch). Here it runs driver-side
+for the single-seed crawl entrypoint.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from urllib.parse import urljoin, urlparse
+
+from ..oracle.session import FetchError
+from ..urls import normalize_url
+
+_RE_HYPERKITTY = re.compile(r"data-hyperkitty")
+_RE_HYPERMAIL = re.compile(r'name="generator" content="hypermail')
+_RE_XENFORO = re.compile(r'<html[^>]+id="XF"')
+_RE_VBULLETIN = re.compile(r'content="vBulletin')
+_RE_INVISION = re.compile(r'data-role="breadcrumbList"')
+_RE_DISCOURSE_NAV = re.compile(r'<nav class="crawler-nav">.*?<a href="([^"]*)"', re.S)
+
+
+@dataclass
+class ProbeFetch:
+    url: str
+    params: str
+    status: int
+    content_type: str
+    body: bytes
+
+
+@dataclass
+class DetectResult:
+    engine: str
+    base_url: str
+    fetches: list[ProbeFetch] = field(default_factory=list)
+
+
+class _ProbeCache:
+    """should_cache=True semantics for detection probes (session.py:105-111,
+    145-146): the first fetch of a key is real, repeats are cache hits."""
+
+    def __init__(self, server: object) -> None:
+        self.server = server
+        self.cache: dict[str, ProbeFetch] = {}
+        self.fetches: list[ProbeFetch] = []
+
+    def try_get(self, url: str) -> ProbeFetch | None:
+        if url in self.cache:
+            return self.cache[url]
+        try:
+            status, ctype, body = self.server.get(url, params=None, attempt=0)
+        except FetchError:
+            # probes use should_retry=False (single attempt); a transport
+            # failure is swallowed by Extractor.detect (common.py:132-140)
+            pf = ProbeFetch(url, "", -1, "", b"")
+            self.fetches.append(pf)
+            return None
+        pf = ProbeFetch(url, "", status, ctype, body)
+        self.cache[url] = pf
+        self.fetches.append(pf)
+        return pf
+
+
+def detect_engine(server: object, url: str) -> DetectResult | None:
+    """Replicates the cascade for the engines this repo implements.
+
+    Returns None when no engine matches (reference raises
+    ExtractorNotFoundError, extractors/__init__.py:37).
+    """
+    probes = _ProbeCache(server)
+    parsed = urlparse(url)
+
+    # hackernews (hackernews.py:84-106): netloc check, no fetch
+    if parsed.netloc == "news.ycombinator.com":
+        return DetectResult("hackernews", urljoin(url, "/"), probes.fetches)
+
+    # hyperkitty (hyperkitty.py:73-122)
+    pf = probes.try_get(normalize_url(url, append_slash=False))
+    if pf and pf.status < 400 and _RE_HYPERKITTY.search(pf.body.decode("utf-8", "replace")):
+        return DetectResult("hyperkitty", url, probes.fetches)
+
+    # pipermail (pipermail.py:61-112): fetch + path-suffix predicate
+    pf = probes.try_get(url)
+    if pf and pf.status < 400:
+        path_parts = urlparse(normalize_url(pf.url, append_slash=False)).path.split("/")
+        if "pipermail" in path_parts or "mailman" in path_parts:
+            return DetectResult("pipermail", url, probes.fetches)
+
+    # hypermail (hypermail.py:40-76)
+    pf = probes.try_get(normalize_url(url, remove_suffixes=(), append_slash=False))
+    if pf and pf.status < 400 and _RE_HYPERMAIL.search(pf.body.decode("utf-8", "replace")):
+        return DetectResult("hypermail", url, probes.fetches)
+
+    # xenforo (xenforo.py:275-297)
+    pf = probes.try_get(normalize_url(url, remove_suffixes=(), append_slash=False))
+    if pf and pf.status < 400 and _RE_XENFORO.search(pf.body.decode("utf-8", "replace")):
+        return DetectResult("xenforo", url, probes.fetches)
+
+    # vbulletin (vbulletin.py:223-233)
+    pf = probes.try_get(url)
+    if pf and pf.status < 400 and _RE_VBULLETIN.search(pf.body.decode("utf-8", "replace")):
+        return DetectResult("vbulletin", url, probes.fetches)
+
+    # proboards (proboards.py:204-209): netloc check, no fetch
+    if parsed.netloc.endswith("proboards.com"):
+        return DetectResult("proboards", urljoin(url, "/"), probes.fetches)
+
+    # invision (invision.py:80-93)
+    pf = probes.try_get(url)
+    if pf and pf.status < 400 and _RE_INVISION.search(pf.body.decode("utf-8", "replace")):
+        return DetectResult("invision", url, probes.fetches)
+
+    # discourse (discourse.py:58-72)
+    u = url.removesuffix("/").removesuffix(".json")
+    pf = probes.try_get(normalize_url(u))
+    if pf and pf.status < 400:
+        m = _RE_DISCOURSE_NAV.search(pf.body.decode("utf-8", "replace"))
+        if m:
+            base = normalize_url(urljoin(pf.url, m.group(1)))
+            return DetectResult("discourse", base, probes.fetches)
+
+    return None

@@ -1,0 +1,495 @@
+"""The BSP superstep crawl loop.
+
+Replaces the reference's sequential generator pipeline
+(forum_dl/extractors/common.py:334-366, one blocking HTTP request in flight
+ever, forum_dl/session.py:171-187) with a batch-iterative driver loop over
+DataFrames — the idiomatic Spark shape for a fixpoint iteration:
+
+    while frontier:
+        popped  = politeness-budgeted pop (window rank per host)
+        parsed  = popped.mapInPandas(fetch+parse)      # ONE Arrow stage
+        items/pages/seen/frontier deltas split from `parsed`
+        candidates → dedup(min ord) → anti-join seen → new frontier
+        atomically checkpoint all deltas (superstep dir + _COMPLETE marker)
+
+Scale design decisions (the ones that matter at 10^10 URLs / 1000 executors):
+
+- **fetch and parse are fused into one ``mapInPandas`` stage** so page
+  bodies never cross a shuffle boundary; only typed rows (items, frontier
+  candidates, lineage) leave the Python worker.
+- **the seen anti-join is the only unavoidable wide dependency**; both
+  sides carry a ``shard = pmod(xxhash64(seen_key), K)`` column and the seen
+  table is written partitioned by it, so the scan prunes and AQE handles
+  skew. A bloom prefilter (crawl/bloom.py) cuts the shuffle input further.
+- **crawl order is data, not scheduling**: the ``ord`` key (engines/ordkey)
+  is assigned from parent order at parse time, so any superstep/parallelism
+  schedule yields the same final tables; sorting by ``ord`` reproduces the
+  reference's sequential order exactly.
+- **checkpoint per superstep** (parquet deltas + marker file — the
+  Iceberg-snapshot pattern without Iceberg jars, which this container
+  lacks): a killed run resumes bit-identically (north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..engines import ENGINES
+from ..oracle.session import FetchError
+from .detect import detect_engine
+
+_ITEM_COLS = [f.name for f in schemas.ITEMS.fields]
+_FRONTIER_CORE = [
+    "url",
+    "params",
+    "kind",
+    "path",
+    "page",
+    "state",
+    "priority",
+    "ord",
+    "attempt",
+    "should_retry",
+]
+
+
+@dataclass
+class CrawlConfig:
+    retries: int = 4  # total attempts, reference default (options.py:49-56)
+    host_budget: int | None = None  # politeness: max fetches/host/superstep
+    max_supersteps: int = 10_000
+    shards: int = schemas.N_SHARDS_DEFAULT
+    keep_bodies: bool = True
+
+
+@dataclass
+class CrawlResult:
+    workdir: str
+    base_url: str
+    engine: str
+    supersteps: int
+    spark: SparkSession = field(repr=False)
+
+    def _delta(self, name: str) -> DataFrame:
+        paths = sorted(str(p) for p in Path(self.workdir, "steps").glob(f"*/{name}"))
+        return self.spark.read.parquet(*paths)
+
+    def pages(self) -> DataFrame:
+        return self._delta("pages")
+
+    def items(self) -> DataFrame:
+        return self._delta("items")
+
+    def seen(self) -> DataFrame:
+        return self._delta("seen")
+
+    def documents(self) -> DataFrame:
+        return self._delta("documents")
+
+    def metrics(self) -> list[dict]:
+        out = []
+        for p in sorted(Path(self.workdir, "steps").glob("*/metrics.json")):
+            out.append(json.loads(p.read_text()))
+        return out
+
+
+def _with_derived(df: DataFrame) -> DataFrame:
+    """seen_key / host / shard derivation — JVM-side column expressions."""
+    seen_key = F.when(F.col("params") == "", F.col("url")).otherwise(
+        F.concat(F.col("url"), F.lit("\x00"), F.col("params"))
+    )
+    return (
+        df.withColumn("seen_key", seen_key)
+        .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+        .withColumn("shard", F.pmod(F.xxhash64(F.col("seen_key")), F.lit(32)).cast("int"))
+    )
+
+
+def _make_fetch_parse(server: object, retries: int, keep_bodies: bool):
+    """Build the fused fetch+parse mapInPandas function.
+
+    Input rows are *pages to fetch* (coarse units); output rows are typed
+    records discriminated by ``rec``: page lineage, items, next-frontier
+    candidates, retries, failures. One Arrow round-trip per batch.
+    """
+    parsed_cols = [f.name for f in schemas.PARSED.fields]
+
+    def fn(batches):
+        for pdf in batches:
+            out: list[dict] = []
+            for r in pdf.to_dict("records"):
+                row = {
+                    "url": r["url"],
+                    "params": r["params"] or "",
+                    "kind": r["kind"],
+                    "path": list(r["path"]) if r["path"] is not None else [],
+                    "page": int(r["page"]),
+                    "state": dict(r["state"]) if r["state"] is not None else {},
+                    "ord": r["ord"],
+                }
+                eff_url = row["url"] if not row["params"] else f"{row['url']}?{row['params']}"
+
+                def emit(**kw) -> None:
+                    rec = dict.fromkeys(parsed_cols)
+                    rec.update(kw)
+                    out.append(rec)
+
+                def emit_frontier(rec: str, ch: dict, attempt: int) -> None:
+                    emit(
+                        rec=rec,
+                        f_url=ch["url"],
+                        f_params=ch["params"],
+                        f_kind=ch["kind"],
+                        f_path=ch["path"],
+                        f_page=ch["page"],
+                        f_state=ch["state"],
+                        f_priority=ch["priority"],
+                        f_ord=ch["ord"],
+                        f_attempt=attempt,
+                        f_should_retry=ch["should_retry"],
+                    )
+
+                try:
+                    status, ctype, body = server.get(eff_url, params=None, attempt=int(r["attempt"]))
+                except FetchError:
+                    # lineage row for the failed attempt (the reference
+                    # prints/logs every attempt, session.py:163-166)
+                    emit(
+                        rec="pfail",
+                        p_url=row["url"],
+                        p_params=row["params"],
+                        p_status=-1,
+                        p_kind=row["kind"],
+                        p_attempt=int(r["attempt"]),
+                        ord=row["ord"],
+                    )
+                    nxt = int(r["attempt"]) + 1
+                    if r["should_retry"] and nxt < retries:
+                        fr = dict(row)
+                        fr["priority"] = int(r["priority"])
+                        fr["should_retry"] = int(r["should_retry"])
+                        emit_frontier("retry", fr, nxt)
+                    else:
+                        emit(
+                            rec="failed",
+                            p_url=row["url"],
+                            p_params=row["params"],
+                            p_status=-1,
+                            p_kind=row["kind"],
+                            p_attempt=int(r["attempt"]),
+                            ord=row["ord"],
+                        )
+                    continue
+
+                emit(
+                    rec="page",
+                    p_url=row["url"],
+                    p_params=row["params"],
+                    p_status=int(status),
+                    p_content_type=ctype,
+                    p_body=bytes(body) if keep_bodies else None,
+                    p_kind=row["kind"],
+                    p_attempt=int(r["attempt"]),
+                    ord=row["ord"],
+                )
+                engine = ENGINES[r["engine"]]
+                items, children = engine.parse(row, int(status), body, row["url"])
+                for it in items:
+                    emit(rec="item", **it)
+                for ch in children:
+                    emit_frontier("next", ch, 0)
+            res = pd.DataFrame(out, columns=parsed_cols)
+            if len(res):
+                res["creation_time"] = pd.to_datetime(res["creation_time"])
+            yield res
+
+    return fn
+
+
+def _atomic_write(df: DataFrame, path: Path) -> None:
+    df.write.mode("overwrite").parquet(str(path))
+
+
+def _empty(spark: SparkSession, schema) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def run_crawl(
+    spark: SparkSession,
+    server: object,
+    seed_url: str,
+    workdir: str,
+    config: CrawlConfig | None = None,
+) -> CrawlResult:
+    config = config or CrawlConfig()
+    wd = Path(workdir)
+    if wd.exists():
+        shutil.rmtree(wd)
+    (wd / "steps").mkdir(parents=True)
+
+    # --- step 0: detection (driver-side probe cascade, ≤11 fetches/seed) ---
+    det = detect_engine(server, seed_url)
+    if det is None:
+        raise ValueError(f"no engine detected for {seed_url}")
+    engine_mod = ENGINES[det.engine]
+
+    probe_pages = [
+        {
+            "url": pf.url,
+            "params": pf.params,
+            "status_code": pf.status,
+            "content_type": pf.content_type,
+            "body": bytes(pf.body),
+            "ord": f"{i:08x}",
+            "attempt": 0,
+            "superstep": 0,
+            "engine": det.engine,
+            "kind": "probe",
+        }
+        for i, pf in enumerate(det.fetches)
+    ]
+    seed_ord = f"{len(det.fetches):08x}"
+    probe_seen = [
+        {
+            "seen_key": pf.url if not pf.params else f"{pf.url}\x00{pf.params}",
+            "url": pf.url,
+            "status": "ok" if pf.status >= 0 else "failed",
+            "superstep": 0,
+        }
+        for pf in det.fetches
+    ]
+    frontier_rows = [
+        {**row, "attempt": 0, "engine": det.engine} for row in engine_mod.seed_rows(det.base_url, seed_ord)
+    ]
+
+    step0 = wd / "steps" / "00000"
+    step0.mkdir(parents=True)
+    _atomic_write(spark.createDataFrame(pd.DataFrame(probe_pages), schemas.PAGES), step0 / "pages")
+    _atomic_write(
+        spark.createDataFrame(pd.DataFrame(probe_seen), schemas.SEEN).withColumn(
+            "shard", F.pmod(F.xxhash64(F.col("seen_key")), F.lit(32)).cast("int")
+        ),
+        step0 / "seen",
+    )
+    _atomic_write(_empty(spark, schemas.ITEMS), step0 / "items")
+    _atomic_write(_empty(spark, schemas.DOCUMENTS), step0 / "documents")
+    frontier = _with_derived(
+        spark.createDataFrame(
+            [
+                tuple(
+                    [
+                        r["url"],
+                        r["params"],
+                        r["url"] if not r["params"] else f"{r['url']}\x00{r['params']}",
+                        "",
+                        r["engine"],
+                        r["kind"],
+                        r["path"],
+                        r["page"],
+                        r["state"],
+                        r["priority"],
+                        r["ord"],
+                        r["attempt"],
+                        r["should_retry"],
+                    ]
+                )
+                for r in frontier_rows
+            ],
+            schemas.FRONTIER,
+        ).drop("seen_key", "host")
+    )
+    _atomic_write(frontier, step0 / "frontier")
+    (step0 / "metrics.json").write_text(
+        json.dumps({"superstep": 0, "popped": len(probe_pages), "new_frontier": len(frontier_rows)})
+    )
+    (step0 / "_COMPLETE").write_text("ok")
+    (wd / "meta.json").write_text(
+        json.dumps(
+            {
+                "seed_url": seed_url,
+                "base_url": det.base_url,
+                "engine": det.engine,
+                "retries": config.retries,
+                "host_budget": config.host_budget,
+            }
+        )
+    )
+
+    return _loop(spark, server, wd, det.engine, det.base_url, config, start_step=1)
+
+
+def resume_crawl(
+    spark: SparkSession, server: object, workdir: str, config: CrawlConfig | None = None
+) -> CrawlResult:
+    """Resume from the last complete superstep (north_rule: bit-identical)."""
+    wd = Path(workdir)
+    meta = json.loads((wd / "meta.json").read_text())
+    config = config or CrawlConfig(retries=meta["retries"], host_budget=meta["host_budget"])
+    done = sorted(p for p in (wd / "steps").glob("*") if (p / "_COMPLETE").exists())
+    # drop any incomplete step dirs (killed mid-write)
+    for p in (wd / "steps").glob("*"):
+        if not (p / "_COMPLETE").exists():
+            shutil.rmtree(p)
+    last = int(done[-1].name)
+    return _loop(
+        spark, server, wd, meta["engine"], meta["base_url"], config, start_step=last + 1
+    )
+
+
+def _loop(
+    spark: SparkSession,
+    server: object,
+    wd: Path,
+    engine: str,
+    base_url: str,
+    config: CrawlConfig,
+    start_step: int,
+) -> CrawlResult:
+    fetch_parse = _make_fetch_parse(server, config.retries, config.keep_bodies)
+    step = start_step
+    frontier = spark.read.parquet(str(wd / "steps" / f"{start_step - 1:05d}" / "frontier"))
+
+    while step < config.max_supersteps:
+        if frontier.isEmpty():
+            break
+        t0 = time.time()
+        # --- politeness pop: per-host window rank (SURVEY §4 item 2-3) ---
+        if config.host_budget is not None:
+            w = Window.partitionBy("host").orderBy("priority", "ord")
+            ranked = frontier.withColumn("_rn", F.row_number().over(w))
+            popped = ranked.filter(F.col("_rn") <= config.host_budget).drop("_rn")
+            remaining = ranked.filter(F.col("_rn") > config.host_budget).drop("_rn")
+        else:
+            popped = frontier
+            remaining = _with_derived(_empty(spark, schemas.FRONTIER).drop("seen_key", "host"))
+
+        parsed = popped.withColumn("engine", F.lit(engine)).mapInPandas(
+            fetch_parse, schemas.PARSED
+        )
+        parsed.cache()
+
+        items_delta = parsed.filter(F.col("rec") == "item").select(*_ITEM_COLS)
+        pages_delta = parsed.filter(F.col("rec").isin("page", "pfail")).select(
+            F.col("p_url").alias("url"),
+            F.col("p_params").alias("params"),
+            F.col("p_status").alias("status_code"),
+            F.col("p_content_type").alias("content_type"),
+            F.col("p_body").alias("body"),
+            F.col("ord"),
+            F.col("p_attempt").alias("attempt"),
+            F.lit(step).alias("superstep"),
+            F.lit(engine).alias("engine"),
+            F.col("p_kind").alias("kind"),
+        )
+        # seen status comes from FINAL outcomes only: any HTTP response is a
+        # visited key (reference records even 4xx/5xx responses as past
+        # requests, session.py:143-148); 'failed' only after retries are
+        # exhausted (session.py:137-141)
+        seen_delta = _with_derived(
+            parsed.filter(F.col("rec").isin("page", "failed")).select(
+                F.col("p_url").alias("url"),
+                F.col("p_params").alias("params"),
+                F.when(F.col("rec") == "failed", F.lit("failed"))
+                .otherwise(F.lit("ok"))
+                .alias("status"),
+                F.lit(step).alias("superstep"),
+            )
+        ).select("seen_key", "url", "status", "superstep", "shard")
+
+        def _fr(prefix: str, rec: str) -> DataFrame:
+            return _with_derived(
+                parsed.filter(F.col("rec") == rec).select(
+                    F.col(f"{prefix}url").alias("url"),
+                    F.col(f"{prefix}params").alias("params"),
+                    F.lit(engine).alias("engine"),
+                    F.col(f"{prefix}kind").alias("kind"),
+                    F.col(f"{prefix}path").alias("path"),
+                    F.col(f"{prefix}page").alias("page"),
+                    F.col(f"{prefix}state").alias("state"),
+                    F.col(f"{prefix}priority").alias("priority"),
+                    F.col(f"{prefix}ord").alias("ord"),
+                    F.col(f"{prefix}attempt").alias("attempt"),
+                    F.col(f"{prefix}should_retry").alias("should_retry"),
+                )
+            )
+
+        retries_df = _fr("f_", "retry")
+        candidates = _fr("f_", "next")
+
+        # dedup within the wave: first discovery (min ord) wins — matches the
+        # reference where the first DFS occurrence fetches and later ones hit
+        # the seen gate (session.py:112-113)
+        w_dd = Window.partitionBy("seen_key").orderBy("ord")
+        candidates = (
+            candidates.withColumn("_rn", F.row_number().over(w_dd))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+        # anti-join against everything already seen or pending
+        seen_sofar = _read_deltas(spark, wd, "seen", step)
+        seen_all = seen_sofar.select("seen_key").union(seen_delta.select("seen_key"))
+        pending = remaining.select("seen_key").union(retries_df.select("seen_key"))
+        new_frontier_rows = candidates.join(
+            seen_all.distinct(), on="seen_key", how="left_anti"
+        ).join(pending.distinct(), on="seen_key", how="left_anti")
+
+        next_frontier = remaining.unionByName(retries_df).unionByName(new_frontier_rows)
+
+        docs_delta = items_delta.filter(F.col("type") == "post").select(
+            F.array_join(F.concat(F.col("path"), F.col("subpath")), ".").alias("doc_id"),
+            F.col("spans"),
+        )
+
+        # --- checkpoint the superstep atomically ---
+        step_dir = wd / "steps" / f"{step:05d}"
+        step_dir.mkdir(parents=True, exist_ok=True)
+        _atomic_write(pages_delta, step_dir / "pages")
+        _atomic_write(items_delta, step_dir / "items")
+        _atomic_write(seen_delta.repartition("shard"), step_dir / "seen")
+        _atomic_write(docs_delta, step_dir / "documents")
+        _atomic_write(next_frontier, step_dir / "frontier")
+
+        rec_counts = {r["rec"]: r["count"] for r in parsed.groupBy("rec").agg(F.count("*").alias("count")).collect()}
+        frontier = spark.read.parquet(str(step_dir / "frontier"))
+        frontier_size = frontier.count()
+        metrics = {
+            "superstep": step,
+            "popped": int(rec_counts.get("page", 0) + rec_counts.get("failed", 0) + rec_counts.get("retry", 0)),
+            "fetched_ok": int(rec_counts.get("page", 0)),
+            "fetched_failed": int(rec_counts.get("failed", 0)),
+            "items": int(rec_counts.get("item", 0)),
+            "new_frontier": int(rec_counts.get("next", 0)),
+            "frontier_size": int(frontier_size),
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        (step_dir / "metrics.json").write_text(json.dumps(metrics))
+        (step_dir / "_COMPLETE").write_text("ok")
+        parsed.unpersist()
+        step += 1
+
+    return CrawlResult(
+        workdir=str(wd),
+        base_url=base_url,
+        engine=engine,
+        supersteps=step,
+        spark=spark,
+    )
+
+
+def _read_deltas(spark: SparkSession, wd: Path, name: str, upto_step: int) -> DataFrame:
+    paths = [
+        str(p)
+        for p in sorted(Path(wd, "steps").glob(f"*/{name}"))
+        if int(p.parent.name) < upto_step
+    ]
+    return spark.read.parquet(*paths)

@@ -1,0 +1,22 @@
+"""Engine registry: per-forum-software parse branches.
+
+Each engine module exposes:
+
+- ``seed_rows(base_url, ord_prefix) -> list[dict]`` — initial frontier rows
+  after detection;
+- ``parse(row, status, body, resp_url) -> (items, children)`` — pure
+  per-page function (called inside ``mapInPandas`` Arrow batches; a "row"
+  is a *page*, which fans out to many item/frontier rows).
+
+The registry mirrors the reference's extractor modules
+(forum_dl/extractors/__init__.py:12-24); engines are added as their
+fixtures land (SURVEY.md §7 step 6).
+"""
+
+from __future__ import annotations
+
+from . import discourse
+
+ENGINES = {
+    "discourse": discourse,
+}
