@@ -1,0 +1,31 @@
+"""Analytics / training-data-pipeline operators.
+
+Each operator is a ``(spark, sf_dir) -> DataFrame`` callable plus (where
+SQL-expressible) a DuckDB oracle SQL string with IDENTICAL column names and
+semantics — the driver's correctness gate (CORRECTNESS_r{N}.json).
+
+Modules:
+- relational:  joins/aggregations/windows over the TPC-H-ish tables
+- dedup:       exact, n-gram Jaccard, MinHash+LSH, SimHash
+- textops:     lang-ID, quality scoring, token counts, fingerprints, spans
+- similarity:  brute-force cosine top-k + LSH-bucketed ANN
+- multimodal:  binary-column plumbing with stubbed decode
+"""
+
+from . import dedup, multimodal, relational, similarity, textops
+
+_MODULES = [relational, dedup, textops, similarity, multimodal]
+
+
+def all_queries():
+    out = {}
+    for m in _MODULES:
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    return out

@@ -1,0 +1,291 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline staples, each with a DuckDB oracle implementing the
+IDENTICAL deterministic algorithm:
+
+- exact:          hash-groupBy on normalized text
+- ngram_jaccard:  character-8-gram shingle sets, stop-shingle filtered,
+                  exact Jaccard on candidate pairs sharing a shingle
+- minhash_lsh:    k=8 portable min-hashes, 4 bands x 2 rows, band-bucket
+                  self-join for candidate pairs
+- simhash:        32-bit token-hash majority signature
+
+Portability contract: the only hash primitive is ``md5`` (hex, lowercase in
+both engines); 32-bit integers are derived as
+``conv(substring(md5(s),1,8),16,10)`` in Spark and
+``cast(concat('0x', substring(md5(s),1,8)) as bigint)`` in DuckDB — verified
+equal.
+
+Scale notes: shingle explosion is the dominant cost; the stop-shingle
+filter (document frequency cap) bounds the self-join blowup — without it a
+common shingle produces O(n^2) candidate pairs. At 100 TB the pair join is
+a shuffle on shingle/band keys; AQE skew-join splits hot buckets, and the
+band-bucket variant (minhash_lsh) is the scale path: candidates per doc are
+O(bands), not O(shared shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SHINGLE_K = 8
+STOP_SHINGLE_DF = 100  # drop shingles appearing in more than this many docs
+JACCARD_THRESHOLD = 0.35
+MINHASH_K = 8
+LSH_BANDS = 4  # 4 bands x 2 rows
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keep/drop decision: duplicate iff another doc with the same
+    normalized text has a smaller doc_id (hash-groupBy semantics)."""
+    d = _docs(spark, sf_dir)
+    norm = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(norm)
+    return d.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(w)).cast("int").alias("is_dup"),
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT doc_id,
+       CAST(doc_id != min(doc_id) OVER (
+            PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+       ) AS int) AS is_dup
+FROM documents
+"""
+
+
+# --- shingle helpers --------------------------------------------------------
+
+_SPARK_SHINGLES = f"""
+array_distinct(transform(
+    sequence(1, greatest(length(text) - {SHINGLE_K - 1}, 1)),
+    i -> substring(text, i, {SHINGLE_K})
+))
+"""
+
+_DUCK_SHINGLES = f"""
+list_distinct([substring(text, i, {SHINGLE_K})
+               for i in generate_series(1, greatest(length(text) - {SHINGLE_K - 1}, 1))])
+"""
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) pairs after the stop-shingle document-frequency cap."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+    from pyspark.sql import Window
+
+    df_w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("df", F.count("*").over(df_w))
+        .filter(F.col("df") <= STOP_SHINGLE_DF)
+        .drop("df")
+    )
+
+
+_DUCK_SHINGLE_CTE = f"""
+WITH sh_raw AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+    FROM sh_raw
+  ) WHERE df <= {STOP_SHINGLE_DF}
+)
+"""
+
+
+# --- n-gram Jaccard near-dup -------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with exact Jaccard >= threshold over shingle sets."""
+    sh = _shingle_df(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = (
+    _DUCK_SHINGLE_CTE
+    + f""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}
+"""
+)
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+_SPARK_H32 = "cast(conv(substring(md5(concat(shingle, ':', cast(j as string))), 1, 8), 16, 10) as bigint)"
+_DUCK_H32 = "cast(concat('0x', substring(md5(concat(shingle, ':', cast(j as varchar))), 1, 8)) as bigint)"
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on all rows of >=1 minhash band."""
+    sh = _shingle_df(spark, sf_dir)
+    j = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("j"))
+    mh = (
+        sh.crossJoin(F.broadcast(j))
+        .groupBy("doc_id", "j")
+        .agg(F.expr(f"min({_SPARK_H32})").alias("mh"))
+    )
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = (
+        mh.withColumn("band", F.floor(F.col("j") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.expr(
+                "concat_ws(',', transform(array_sort(collect_list(struct(j, mh))),"
+                " s -> cast(s.mh as string)))"
+            ).alias("sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+DEDUP_MINHASH_SQL = (
+    _DUCK_SHINGLE_CTE
+    + f""",
+mh AS (
+  SELECT doc_id, j, min({_DUCK_H32}) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS j)
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, CAST(j // {MINHASH_K // LSH_BANDS} AS int) AS band,
+         string_agg(CAST(mh AS varchar), ',' ORDER BY j) AS sig
+  FROM mh GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+)
+
+
+# --- SimHash -------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (token-hash bit majority)."""
+    d = _docs(spark, sf_dir)
+    tokens = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+        ).alias("tok"),
+    ).withColumn(
+        "h", F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)")
+    )
+    bits = tokens.crossJoin(
+        F.broadcast(
+            spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("pos"))
+        )
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(h >> pos) % 2") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    return (
+        bits.groupBy("doc_id", "pos")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("cast(pow(2, pos) as bigint)")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH tokens AS (
+  SELECT doc_id,
+         cast(concat('0x', substring(md5(tok), 1, 8)) as bigint) AS h
+  FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      x -> x != '')) AS tok
+    FROM documents
+  )
+),
+votes AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN (h >> pos) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tokens
+  CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS pos)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN cast(pow(2, pos) as bigint) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+}

@@ -1,0 +1,165 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+float[], label).
+
+- brute-force cosine top-k: the exact baseline. JVM-side only —
+  ``zip_with``/``aggregate`` higher-order functions, no Python in the loop.
+- LSH-bucketed ANN: sign-random-projection buckets (deterministic
+  hyperplanes derived from md5), candidates restricted to same-bucket pairs
+  — the scale path: at 10^9 vectors the cross join is infeasible; bucket
+  join is linear in bucket sizes.
+
+All float math is done in double precision with a fixed fold order on both
+engines, then rounded, so the DuckDB oracle hashes identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+LSH_PLANES = 6  # 2^6 = 64 buckets
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "v", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+
+
+_SPARK_DOT = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
+_SPARK_NORM_A = "sqrt(aggregate(transform(a.v, x -> x * x), cast(0 as double), (s, x) -> s + x))"
+_SPARK_NORM_B = "sqrt(aggregate(transform(b.v, x -> x * x), cast(0 as double), (s, x) -> s + x))"
+
+
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v")
+    ).alias("a")
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v")).alias("b")
+    pairs = (
+        q.join(c, F.col("a.query_id") != F.col("b.neighbor_id"))
+        .withColumn("cos_sim", F.expr(f"{_SPARK_DOT} / ({_SPARK_NORM_A} * {_SPARK_NORM_B})"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.v, b.v) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < {N_QUERIES} AND a.vec_id != b.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+# --- LSH-bucketed ANN (sign random projection) --------------------------------
+#
+# Hyperplane p (p=0..LSH_PLANES-1), dimension i: weight w(p,i) in {-1,+1}
+# derived from md5(f"{p}:{i}") parity — deterministic, identical in both
+# engines. Bucket = bits of sign(v . w_p).
+
+_SPARK_W = (
+    "transform(sequence(0, size(v) - 1),"
+    " i -> CASE WHEN conv(substring(md5(concat(cast({p} as string), ':',"
+    " cast(i as string))), 1, 8), 16, 10) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+)
+
+
+def _spark_bucket_expr() -> str:
+    bits = []
+    for p in range(LSH_PLANES):
+        w = _SPARK_W.format(p=p)
+        dot = f"aggregate(zip_with(v, {w}, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _duck_bucket_sql() -> str:
+    bits = []
+    for p in range(LSH_PLANES):
+        w = (
+            f"[CASE WHEN cast(concat('0x', substring(md5(concat('{p}', ':',"
+            f" cast(i - 1 as varchar))), 1, 8)) as bigint) % 2 = 0"
+            f" THEN 1.0 ELSE -1.0 END for i in generate_series(1, len(v))]"
+        )
+        dot = f"list_sum(list_transform(list_zip(v, {w}), z -> z[1] * z[2]))"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket assignment + per-bucket sizes (the ANN index structure)."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.withColumn("bucket", F.expr(_spark_bucket_expr()).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings)
+SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+FROM (SELECT vec_id, cast({{bucket}} AS int) AS bucket FROM e)
+GROUP BY bucket
+""".replace("{bucket}", _duck_bucket_sql())
+
+
+def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine within LSH buckets."""
+    from pyspark.sql import functions as F
+
+    e = _emb(spark, sf_dir).withColumn("bucket", F.expr(_spark_bucket_expr()).cast("int"))
+    a = e.select(F.col("vec_id").alias("doc_a"), F.col("v"), "bucket").alias("a")
+    b = e.select(F.col("vec_id").alias("doc_b"), F.col("v"), "bucket").alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_a") < F.col("b.doc_b")))
+        .withColumn("cos_sim", F.expr(f"{_SPARK_DOT.replace('a.v', 'a.v').replace('b.v', 'b.v')} / ({_SPARK_NORM_A} * {_SPARK_NORM_B})"))
+        .filter(F.col("cos_sim") >= 0.99)
+        .select("doc_a", "doc_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH e0 AS (SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings),
+e AS (
+  SELECT vec_id, v, cast({_duck_bucket_sql()} AS int) AS bucket FROM e0
+)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+"""
+
+
+QUERIES = {
+    "cosine_topk_bruteforce": cosine_topk_bruteforce,
+    "ann_lsh_buckets": ann_lsh_buckets,
+    "embedding_neardup_cosine": embedding_neardup_cosine,
+}
+
+ORACLES = {
+    "cosine_topk_bruteforce": COSINE_TOPK_SQL,
+    "ann_lsh_buckets": ANN_LSH_SQL,
+    "embedding_neardup_cosine": EMBEDDING_NEARDUP_SQL,
+}

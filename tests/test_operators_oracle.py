@@ -1,0 +1,86 @@
+"""Mimics the driver's correctness gate: run every registered query in
+Spark AND its DuckDB oracle SQL on the same parquet, compare row count,
+schema (column names), and order-insensitive values exactly."""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import datetime
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # collapse float noise at the driver-hash scale
+        return round(v, 9)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return v
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def _pairs():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from forum_dl_spark.operators import all_oracles, all_queries
+
+    q = all_queries()
+    o = all_oracles()
+    return [(name, q[name], o[name]) for name in sorted(o)]
+
+
+@pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_query_matches_oracle(spark, name, fn, sql):
+    sdf = fn(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck()
+    res = con.sql(sql)
+    d_cols = res.columns
+    d_rows = res.fetchall()
+
+    sc, sr = _normalize(s_cols, s_rows)
+    dc, dr = _normalize(d_cols, d_rows)
+    assert sc == dc, f"{name}: column mismatch {sc} vs {dc}"
+    assert len(sr) == len(dr), f"{name}: row count {len(sr)} vs {len(dr)}"
+    assert sr == dr, f"{name}: value mismatch (first diff: "
+    f"{next(((a, b) for a, b in zip(sr, dr) if a != b), None)})"
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without oracles must still execute and return rows."""
+    from forum_dl_spark.operators import all_oracles, all_queries
+
+    q = all_queries()
+    o = all_oracles()
+    for name in sorted(set(q) - set(o)):
+        df = q[name](spark, SF_DIR)
+        assert df.count() > 0, name
