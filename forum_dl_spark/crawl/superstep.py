@@ -73,6 +73,16 @@ class CrawlConfig:
 
 @dataclass
 class CrawlResult:
+    """Handle over the crawl's checkpointed tables.
+
+    Single-materialization layout: each superstep writes ONE ``parsed``
+    parquet delta (the fused fetch+parse output); pages/items/documents are
+    column-pruned projections over it (parquet reads only the projected
+    columns — e.g. the scheduler never reads page bodies), while ``seen``
+    and ``frontier`` (small, body-free) are materialized per step because
+    the next superstep's anti-join consumes them.
+    """
+
     workdir: str
     base_url: str
     engine: str
@@ -83,17 +93,37 @@ class CrawlResult:
         paths = sorted(str(p) for p in Path(self.workdir, "steps").glob(f"*/{name}"))
         return self.spark.read.parquet(*paths)
 
+    def parsed(self) -> DataFrame:
+        return self._delta("parsed")
+
     def pages(self) -> DataFrame:
-        return self._delta("pages")
+        p = self.parsed()
+        return p.filter(F.col("rec").isin("page", "pfail")).select(
+            F.col("p_url").alias("url"),
+            F.col("p_params").alias("params"),
+            F.col("p_status").alias("status_code"),
+            F.col("p_content_type").alias("content_type"),
+            F.col("p_body").alias("body"),
+            F.col("ord"),
+            F.col("p_attempt").alias("attempt"),
+            F.col("superstep"),
+            F.col("p_engine").alias("engine"),
+            F.col("p_kind").alias("kind"),
+        )
 
     def items(self) -> DataFrame:
-        return self._delta("items")
+        return self.parsed().filter(F.col("rec") == "item").select(
+            *_ITEM_COLS, "superstep"
+        )
 
     def seen(self) -> DataFrame:
         return self._delta("seen")
 
     def documents(self) -> DataFrame:
-        return self._delta("documents")
+        return self.items().filter(F.col("type") == "post").select(
+            F.array_join(F.concat(F.col("path"), F.col("subpath")), ".").alias("doc_id"),
+            F.col("spans"),
+        )
 
     def metrics(self) -> list[dict]:
         out = []
@@ -170,6 +200,7 @@ def _make_fetch_parse(server: object, retries: int, keep_bodies: bool):
                         p_status=-1,
                         p_kind=row["kind"],
                         p_attempt=int(r["attempt"]),
+                        p_engine=r["engine"],
                         ord=row["ord"],
                     )
                     nxt = int(r["attempt"]) + 1
@@ -186,6 +217,7 @@ def _make_fetch_parse(server: object, retries: int, keep_bodies: bool):
                             p_status=-1,
                             p_kind=row["kind"],
                             p_attempt=int(r["attempt"]),
+                            p_engine=r["engine"],
                             ord=row["ord"],
                         )
                     continue
@@ -199,6 +231,7 @@ def _make_fetch_parse(server: object, retries: int, keep_bodies: bool):
                     p_body=bytes(body) if keep_bodies else None,
                     p_kind=row["kind"],
                     p_attempt=int(r["attempt"]),
+                    p_engine=r["engine"],
                     ord=row["ord"],
                 )
                 engine = ENGINES[r["engine"]]
@@ -244,16 +277,16 @@ def run_crawl(
 
     probe_pages = [
         {
-            "url": pf.url,
-            "params": pf.params,
-            "status_code": pf.status,
-            "content_type": pf.content_type,
-            "body": bytes(pf.body),
+            "rec": "page" if pf.status >= 0 else "pfail",
+            "p_url": pf.url,
+            "p_params": pf.params,
+            "p_status": pf.status,
+            "p_content_type": pf.content_type,
+            "p_body": bytes(pf.body),
             "ord": f"{i:08x}",
-            "attempt": 0,
-            "superstep": 0,
-            "engine": det.engine,
-            "kind": "probe",
+            "p_attempt": 0,
+            "p_engine": det.engine,
+            "p_kind": "probe",
         }
         for i, pf in enumerate(det.fetches)
     ]
@@ -273,15 +306,21 @@ def run_crawl(
 
     step0 = wd / "steps" / "00000"
     step0.mkdir(parents=True)
-    _atomic_write(spark.createDataFrame(pd.DataFrame(probe_pages), schemas.PAGES), step0 / "pages")
+    probe_rows = [
+        tuple(r.get(f.name) for f in schemas.PARSED.fields) for r in probe_pages
+    ]
+    _atomic_write(
+        spark.createDataFrame(probe_rows, schemas.PARSED).withColumn(
+            "superstep", F.lit(0)
+        ),
+        step0 / "parsed",
+    )
     _atomic_write(
         spark.createDataFrame(pd.DataFrame(probe_seen), schemas.SEEN).withColumn(
             "shard", F.pmod(F.xxhash64(F.col("seen_key")), F.lit(32)).cast("int")
         ),
         step0 / "seen",
     )
-    _atomic_write(_empty(spark, schemas.ITEMS), step0 / "items")
-    _atomic_write(_empty(spark, schemas.DOCUMENTS), step0 / "documents")
     frontier = _with_derived(
         spark.createDataFrame(
             [
@@ -372,24 +411,21 @@ def _loop(
             popped = frontier
             remaining = _with_derived(_empty(spark, schemas.FRONTIER).drop("seen_key", "host"))
 
-        parsed = popped.withColumn("engine", F.lit(engine)).mapInPandas(
-            fetch_parse, schemas.PARSED
+        # --- fused fetch+parse, materialized ONCE as the step's parsed delta.
+        # Everything downstream (seen, frontier tail, metrics, and the
+        # pages/items/documents projections in CrawlResult) is a column-
+        # pruned JVM-side read over this parquet — page bodies are written
+        # once and never shuffled or re-read by the scheduler.
+        step_dir = wd / "steps" / f"{step:05d}"
+        step_dir.mkdir(parents=True, exist_ok=True)
+        _atomic_write(
+            popped.withColumn("engine", F.lit(engine))
+            .mapInPandas(fetch_parse, schemas.PARSED)
+            .withColumn("superstep", F.lit(step)),
+            step_dir / "parsed",
         )
-        parsed.cache()
+        parsed = spark.read.parquet(str(step_dir / "parsed"))
 
-        items_delta = parsed.filter(F.col("rec") == "item").select(*_ITEM_COLS)
-        pages_delta = parsed.filter(F.col("rec").isin("page", "pfail")).select(
-            F.col("p_url").alias("url"),
-            F.col("p_params").alias("params"),
-            F.col("p_status").alias("status_code"),
-            F.col("p_content_type").alias("content_type"),
-            F.col("p_body").alias("body"),
-            F.col("ord"),
-            F.col("p_attempt").alias("attempt"),
-            F.lit(step).alias("superstep"),
-            F.lit(engine).alias("engine"),
-            F.col("p_kind").alias("kind"),
-        )
         # seen status comes from FINAL outcomes only: any HTTP response is a
         # visited key (reference records even 4xx/5xx responses as past
         # requests, session.py:143-148); 'failed' only after retries are
@@ -445,18 +481,8 @@ def _loop(
 
         next_frontier = remaining.unionByName(retries_df).unionByName(new_frontier_rows)
 
-        docs_delta = items_delta.filter(F.col("type") == "post").select(
-            F.array_join(F.concat(F.col("path"), F.col("subpath")), ".").alias("doc_id"),
-            F.col("spans"),
-        )
-
-        # --- checkpoint the superstep atomically ---
-        step_dir = wd / "steps" / f"{step:05d}"
-        step_dir.mkdir(parents=True, exist_ok=True)
-        _atomic_write(pages_delta, step_dir / "pages")
-        _atomic_write(items_delta, step_dir / "items")
+        # --- checkpoint the rest of the superstep ---
         _atomic_write(seen_delta.repartition("shard"), step_dir / "seen")
-        _atomic_write(docs_delta, step_dir / "documents")
         _atomic_write(next_frontier, step_dir / "frontier")
 
         rec_counts = {r["rec"]: r["count"] for r in parsed.groupBy("rec").agg(F.count("*").alias("count")).collect()}
@@ -474,7 +500,6 @@ def _loop(
         }
         (step_dir / "metrics.json").write_text(json.dumps(metrics))
         (step_dir / "_COMPLETE").write_text("ok")
-        parsed.unpersist()
         step += 1
 
     return CrawlResult(
