@@ -128,4 +128,26 @@ def detect_engine(server: object, url: str) -> DetectResult | None:
             base = normalize_url(urljoin(pf.url, m.group(1)))
             return DetectResult("discourse", base, probes.fetches)
 
+    # simplemachines (simplemachines.py:240-257): link rel=contents + anchor
+    pf = probes.try_get(url)
+    if pf and pf.status < 400:
+        body = pf.body.decode("utf-8", "replace")
+        m = re.search(r'<link[^>]+rel="contents"[^>]+href="([^"]*)"', body)
+        if m and re.search(r"https?://www\.simplemachines\.org", body):
+            return DetectResult("simplemachines", normalize_url(m.group(1)), probes.fetches)
+
+    # phpbb (phpbb.py:207-229): probe viewforum.php + <html dir> check
+    probe_url = urljoin(
+        normalize_url(url, remove_suffixes=("viewforum.php", "viewtopic.php")),
+        "viewforum.php",
+    )
+    pf = probes.try_get(probe_url)
+    if pf and pf.status < 400 and re.search(
+        r"<html[^>]*\sdir=", pf.body.decode("utf-8", "replace")
+    ):
+        base = normalize_url(
+            pf.url, remove_suffixes=("viewforum.php", "viewtopic.php")
+        )
+        return DetectResult("phpbb", base, probes.fetches)
+
     return None

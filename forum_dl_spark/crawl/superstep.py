@@ -112,11 +112,46 @@ class CrawlResult:
         )
 
     def items(self) -> DataFrame:
-        return self.parsed().filter(F.col("rec") == "item").select(
+        """All items; file-item stubs are completed by joining the fetched
+        file bodies (the reference inlines downloaded content into the file
+        entry at write time, writers/common.py:168-189 — here it's a
+        broadcast-able join on url instead of a per-item blocking GET)."""
+        items = self.parsed().filter(F.col("rec") == "item").select(
             *_ITEM_COLS, "superstep"
         )
+        stubs = items.filter(
+            (F.col("type") == "file") & F.col("content_bytes").isNull()
+        )
+        rest = items.filter(
+            (F.col("type") != "file") | F.col("content_bytes").isNotNull()
+        )
+        bodies = (
+            self.pages()
+            .filter((F.col("kind") == "file") & (F.col("status_code") >= 0))
+            .select(
+                F.col("url"),
+                F.col("body").alias("_body"),
+                F.col("content_type").alias("_ctype"),
+            )
+            .dropDuplicates(["url"])
+        )
+        filled = (
+            stubs.join(bodies, "url", "left")
+            .withColumn("content_bytes", F.col("_body"))
+            .withColumn("content_type", F.col("_ctype"))
+            .drop("_body", "_ctype")
+            .select(*_ITEM_COLS, "superstep")
+        )
+        return rest.select(*_ITEM_COLS, "superstep").unionByName(filled)
 
     def seen(self) -> DataFrame:
+        """Final URL-seen set, excluding one-shot-evicted cache entries
+        (reference: a should_cache=True response consumed once is deleted
+        from the cache and ends up in NO seen set, session.py:105-111)."""
+        return self._delta("seen").filter(F.col("evict") == 0)
+
+    def seen_all(self) -> DataFrame:
+        """Every fetched key incl. evicted ones (internal anti-join view)."""
         return self._delta("seen")
 
     def documents(self) -> DataFrame:
@@ -232,6 +267,7 @@ def _make_fetch_parse(server: object, retries: int, keep_bodies: bool):
                     p_kind=row["kind"],
                     p_attempt=int(r["attempt"]),
                     p_engine=r["engine"],
+                    p_seen_evict=int(row["state"].get("seen_evict", "0")),
                     ord=row["ord"],
                 )
                 engine = ENGINES[r["engine"]]
@@ -290,24 +326,28 @@ def run_crawl(
         }
         for i, pf in enumerate(det.fetches)
     ]
-    seed_ord = f"{len(det.fetches):08x}"
+    plan = engine_mod.seed(det.base_url, len(det.fetches), det.fetches)
+    evict_urls = set(plan.get("evict_probe_urls", ()))
     probe_seen = [
         {
             "seen_key": pf.url if not pf.params else f"{pf.url}\x00{pf.params}",
             "url": pf.url,
             "status": "ok" if pf.status >= 0 else "failed",
             "superstep": 0,
+            "evict": 1 if pf.url in evict_urls else 0,
         }
         for pf in det.fetches
     ]
     frontier_rows = [
-        {**row, "attempt": 0, "engine": det.engine} for row in engine_mod.seed_rows(det.base_url, seed_ord)
+        {**row, "attempt": 0, "engine": det.engine} for row in plan["frontier"]
     ]
+    seed_items = [{"rec": "item", **it} for it in plan["items"]]
 
     step0 = wd / "steps" / "00000"
     step0.mkdir(parents=True)
     probe_rows = [
-        tuple(r.get(f.name) for f in schemas.PARSED.fields) for r in probe_pages
+        tuple(r.get(f.name) for f in schemas.PARSED.fields)
+        for r in probe_pages + seed_items
     ]
     _atomic_write(
         spark.createDataFrame(probe_rows, schemas.PARSED).withColumn(
@@ -438,8 +478,9 @@ def _loop(
                 .otherwise(F.lit("ok"))
                 .alias("status"),
                 F.lit(step).alias("superstep"),
+                F.coalesce(F.col("p_seen_evict"), F.lit(0)).alias("evict"),
             )
-        ).select("seen_key", "url", "status", "superstep", "shard")
+        ).select("seen_key", "url", "status", "superstep", "evict", "shard")
 
         def _fr(prefix: str, rec: str) -> DataFrame:
             return _with_derived(

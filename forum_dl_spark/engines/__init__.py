@@ -2,8 +2,9 @@
 
 Each engine module exposes:
 
-- ``seed_rows(base_url, ord_prefix) -> list[dict]`` — initial frontier rows
-  after detection;
+- ``seed(base_url, next_index, probes) -> {"frontier": [rows], "items":
+  [item dicts]}`` — initial frontier rows (and any items derivable from
+  the detection probes' bodies, e.g. phpBB's board tree) after detection;
 - ``parse(row, status, body, resp_url) -> (items, children)`` — pure
   per-page function (called inside ``mapInPandas`` Arrow batches; a "row"
   is a *page*, which fans out to many item/frontier rows).
@@ -15,8 +16,9 @@ fixtures land (SURVEY.md §7 step 6).
 
 from __future__ import annotations
 
-from . import discourse
+from . import discourse, phpbb
 
 ENGINES = {
     "discourse": discourse,
+    "phpbb": phpbb,
 }

@@ -50,20 +50,23 @@ def _board_page_row(base: str, board_path: list[str], board_url: str, ord_: str)
     }
 
 
-def seed_rows(base_url: str, index_ord: str) -> list[dict]:
-    return [
-        {
-            "url": urljoin(base_url, "site.json"),
-            "params": "",
-            "kind": "board_index",
-            "path": [],
-            "page": 1,
-            "state": {"base": base_url},
-            "priority": KIND_PRIORITY["board_index"],
-            "ord": index_ord,
-            "should_retry": 1,
-        }
-    ]
+def seed(base_url: str, next_index: int, probes: list) -> dict:
+    return {
+        "frontier": [
+            {
+                "url": urljoin(base_url, "site.json"),
+                "params": "",
+                "kind": "board_index",
+                "path": [],
+                "page": 1,
+                "state": {"base": base_url},
+                "priority": KIND_PRIORITY["board_index"],
+                "ord": f"{next_index:08x}",
+                "should_retry": 1,
+            }
+        ],
+        "items": [],
+    }
 
 
 def _item(

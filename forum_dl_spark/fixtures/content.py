@@ -46,6 +46,11 @@ def interleaved_html(seed: int, post_id: int) -> str:
         # reference selects <video> but has no handler branch
         # (common.py:494-563) → must yield nothing
         parts.append(f'<video src="/v/{post_id}.mp4"></video>')
+    if h % 19 == 0:
+        # SHARED across posts: exercises cross-post file-download dedup
+        # (reference caches by URL, forum_dl/session.py:105-111 via
+        # download_file's should_cache=True, extractors/common.py:396-401)
+        parts.append('<img src="/img/shared_banner.png">')
     parts.append(f"<p>{words(seed, f'{post_id}:z', 4 + h % 5)}</p>")
     return "".join(parts)
 

@@ -21,23 +21,14 @@ the ``attempt`` number).
 
 from __future__ import annotations
 
-import hashlib
 import json
 from urllib.parse import parse_qs, urlparse
 
 from ..oracle.session import FetchError
-
-_WORDS = (
-    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
-    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
-    "xray yankee zulu ember quartz raven lattice orbit prism"
-).split()
+from .content import h64 as _h
+from .content import interleaved_html, words as _shared_words
 
 POSTS_PER_FETCH = 20  # reference chunk size, discourse.py:213
-
-
-def _h(seed: int, key: str) -> int:
-    return int.from_bytes(hashlib.md5(f"{seed}:{key}".encode()).digest()[:8], "big")
 
 
 class SyntheticDiscourse:
@@ -101,40 +92,18 @@ class SyntheticDiscourse:
         return f"topic-{topic_id}"
 
     def topic_title(self, topic_id: int) -> str:
+        from .content import _WORDS
+
         h = _h(self.seed, f"title:{topic_id}")
         return " ".join(_WORDS[(h >> (6 * k)) % len(_WORDS)] for k in range(3)).title()
 
     def post_id(self, topic_id: int, n: int) -> int:
         return topic_id * 100 + n
 
-    def _text(self, key: str, n: int) -> str:
-        h = _h(self.seed, f"text:{key}")
-        return " ".join(_WORDS[(h >> (5 * k % 59)) % len(_WORDS)] for k in range(n))
-
     def cooked(self, post_id: int) -> str:
-        """Post HTML with interleaved text and media embeds."""
-        h = _h(self.seed, f"cooked:{post_id}")
-        parts = [f"<p>{self._text(f'{post_id}:a', 6 + h % 7)}</p>"]
-        if h % 3 == 0:
-            parts.append(f'<p><img src="/img/{post_id}_0.png" alt=""></p>')
-            parts.append(f"<p>{self._text(f'{post_id}:b', 5)}</p>")
-        if h % 5 == 0:
-            parts.append(f'<img src="/img/{post_id}_1.png">')
-        if h % 7 == 0:
-            parts.append(f'<object data="/obj/{post_id}.swf"></object>')
-        if h % 11 == 0:
-            parts.append(
-                f'<audio controls><source src="/a/{post_id}.ogg">'
-                f'<source src="/a/{post_id}.mp3"></audio>'
-            )
-        if h % 13 == 0:
-            parts.append(f'<svg viewBox="0 0 8 8"><circle cx="{h % 8}" cy="4" r="2"></circle></svg>')
-        if h % 17 == 0:
-            # reference selects <video> but has no handler branch
-            # (common.py:494-563) → must yield nothing
-            parts.append(f'<video src="/v/{post_id}.mp4"></video>')
-        parts.append(f"<p>{self._text(f'{post_id}:z', 4 + h % 5)}</p>")
-        return "".join(parts)
+        """Post HTML with interleaved text and media embeds (shared
+        renderer, fixtures/content.py)."""
+        return interleaved_html(self.seed, post_id)
 
     def post_json(self, topic_id: int, n: int) -> dict:
         pid = self.post_id(topic_id, n)

@@ -50,6 +50,8 @@ class OracleItem:
     creation_time: datetime | None = None
     content: str | None = None
     data: dict | None = None
+    content_type: str | None = None
+    content_bytes: bytes | None = None
 
 
 @dataclass

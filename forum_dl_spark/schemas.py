@@ -74,6 +74,9 @@ SEEN = StructType(
         StructField("url", StringType(), False),
         StructField("status", StringType(), False),  # ok|failed
         StructField("superstep", IntegerType(), False),
+        # one-shot cache-eviction quirk (session.py:105-111): evicted keys
+        # are excluded from the FINAL seen set but still gate re-fetches
+        StructField("evict", IntegerType(), False),
     ]
 )
 
@@ -162,5 +165,10 @@ PARSED = StructType(
         StructField("p_kind", StringType(), True),
         StructField("p_attempt", IntegerType(), True),
         StructField("p_engine", StringType(), True),
+        # reference one-shot cache-eviction quirk (session.py:105-111): a
+        # should_cache=True page consumed exactly once vanishes from the
+        # final seen set; flagged here so CrawlResult.seen() can exclude it
+        # while internal anti-joins still see it
+        StructField("p_seen_evict", IntegerType(), True),
     ]
 )
