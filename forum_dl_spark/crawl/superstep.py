@@ -96,7 +96,28 @@ class CrawlResult:
     def parsed(self) -> DataFrame:
         return self._delta("parsed")
 
+    def _ord_fix(self) -> DataFrame | None:
+        """Optional trace-position overrides (url -> ord, evict) written by
+        engine finalize steps (engines whose reference order is recovered
+        post-hoc from the fetched graph, e.g. hackernews)."""
+        paths = sorted(str(p) for p in Path(self.workdir, "steps").glob("*/ord_fix"))
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths).dropDuplicates(["url"])
+
     def pages(self) -> DataFrame:
+        p = self._pages_raw()
+        fix = self._ord_fix()
+        if fix is None:
+            return p
+        fix = fix.select("url", F.col("ord").alias("_ord"))
+        return (
+            p.join(fix, "url", "left")
+            .withColumn("ord", F.coalesce(F.col("_ord"), F.col("ord")))
+            .drop("_ord")
+        )
+
+    def _pages_raw(self) -> DataFrame:
         p = self.parsed()
         return p.filter(F.col("rec").isin("page", "pfail")).select(
             F.col("p_url").alias("url"),
@@ -148,7 +169,16 @@ class CrawlResult:
         """Final URL-seen set, excluding one-shot-evicted cache entries
         (reference: a should_cache=True response consumed once is deleted
         from the cache and ends up in NO seen set, session.py:105-111)."""
-        return self._delta("seen").filter(F.col("evict") == 0)
+        s = self._delta("seen")
+        fix = self._ord_fix()
+        if fix is not None:
+            fx = fix.select(F.col("url").alias("seen_key"), F.col("evict").alias("_evict"))
+            s = (
+                s.join(fx, "seen_key", "left")
+                .withColumn("evict", F.coalesce(F.col("_evict"), F.col("evict")))
+                .drop("_evict")
+            )
+        return s.filter(F.col("evict") == 0)
 
     def seen_all(self) -> DataFrame:
         """Every fetched key incl. evicted ones (internal anti-join view)."""
@@ -189,8 +219,11 @@ def _make_fetch_parse(server: object, retries: int, keep_bodies: bool):
     parsed_cols = [f.name for f in schemas.PARSED.fields]
 
     def fn(batches):
+        halted = False  # strict sequential-abort support (see engines/hackernews.py)
         for pdf in batches:
             out: list[dict] = []
+            # deterministic in-partition order; required by halt_batch_on
+            pdf = pdf.sort_values(["priority", "ord"])
             for r in pdf.to_dict("records"):
                 row = {
                     "url": r["url"],
@@ -202,6 +235,7 @@ def _make_fetch_parse(server: object, retries: int, keep_bodies: bool):
                     "ord": r["ord"],
                 }
                 eff_url = row["url"] if not row["params"] else f"{row['url']}?{row['params']}"
+                halt_flag = row["state"].get("halt_batch_on") == "null_body"
 
                 def emit(**kw) -> None:
                     rec = dict.fromkeys(parsed_cols)
@@ -222,6 +256,16 @@ def _make_fetch_parse(server: object, retries: int, keep_bodies: bool):
                         f_attempt=attempt,
                         f_should_retry=ch["should_retry"],
                     )
+
+                if halted and halt_flag:
+                    # a halt-flagged row earlier in this partition hit its
+                    # halt condition: defer the rest of the flagged batch
+                    # (re-enqueued untouched; the engine's post_wave decides)
+                    fr = dict(row)
+                    fr["priority"] = int(r["priority"])
+                    fr["should_retry"] = int(r["should_retry"])
+                    emit_frontier("retry", fr, int(r["attempt"]))
+                    continue
 
                 try:
                     status, ctype, body = server.get(eff_url, params=None, attempt=int(r["attempt"]))
@@ -270,6 +314,9 @@ def _make_fetch_parse(server: object, retries: int, keep_bodies: bool):
                     p_seen_evict=int(row["state"].get("seen_evict", "0")),
                     ord=row["ord"],
                 )
+                if halt_flag and bytes(body) == b"null":
+                    halted = True
+                    continue
                 engine = ENGINES[r["engine"]]
                 items, children = engine.parse(row, int(status), body, row["url"])
                 for it in items:
@@ -326,7 +373,7 @@ def run_crawl(
         }
         for i, pf in enumerate(det.fetches)
     ]
-    plan = engine_mod.seed(det.base_url, len(det.fetches), det.fetches)
+    plan = engine_mod.seed(det.base_url, len(det.fetches), det.fetches, seed_url=seed_url)
     evict_urls = set(plan.get("evict_probe_urls", ()))
     probe_seen = [
         {
@@ -355,8 +402,13 @@ def run_crawl(
         ),
         step0 / "parsed",
     )
+    seen0 = (
+        spark.createDataFrame(pd.DataFrame(probe_seen), schemas.SEEN)
+        if probe_seen
+        else _empty(spark, schemas.SEEN)
+    )
     _atomic_write(
-        spark.createDataFrame(pd.DataFrame(probe_seen), schemas.SEEN).withColumn(
+        seen0.withColumn(
             "shard", F.pmod(F.xxhash64(F.col("seen_key")), F.lit(32)).cast("int")
         ),
         step0 / "seen",
@@ -524,6 +576,10 @@ def _loop(
 
         # --- checkpoint the rest of the superstep ---
         _atomic_write(seen_delta.repartition("shard"), step_dir / "seen")
+        # engine-specific driver hook (e.g. hackernews descending id scan)
+        engine_mod = ENGINES[engine]
+        if hasattr(engine_mod, "post_wave"):
+            next_frontier = engine_mod.post_wave(spark, wd, step, parsed, next_frontier)
         _atomic_write(next_frontier, step_dir / "frontier")
 
         rec_counts = {r["rec"]: r["count"] for r in parsed.groupBy("rec").agg(F.count("*").alias("count")).collect()}
@@ -541,6 +597,11 @@ def _loop(
         }
         (step_dir / "metrics.json").write_text(json.dumps(metrics))
         (step_dir / "_COMPLETE").write_text("ok")
+        step += 1
+
+    engine_mod = ENGINES[engine]
+    if hasattr(engine_mod, "finalize"):
+        engine_mod.finalize(spark, wd, base_url, step)
         step += 1
 
     return CrawlResult(

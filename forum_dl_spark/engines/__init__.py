@@ -16,9 +16,10 @@ fixtures land (SURVEY.md §7 step 6).
 
 from __future__ import annotations
 
-from . import discourse, phpbb
+from . import discourse, hackernews, phpbb
 
 ENGINES = {
     "discourse": discourse,
     "phpbb": phpbb,
+    "hackernews": hackernews,
 }

@@ -50,7 +50,7 @@ def _board_page_row(base: str, board_path: list[str], board_url: str, ord_: str)
     }
 
 
-def seed(base_url: str, next_index: int, probes: list) -> dict:
+def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> dict:
     return {
         "frontier": [
             {

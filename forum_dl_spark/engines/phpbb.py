@@ -52,7 +52,7 @@ def _row(url: str, kind: str, path: list[str], page: int, state: dict,
     }
 
 
-def seed(base_url: str, next_index: int, probes: list) -> dict:
+def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> dict:
     """Driver-side seeding from the detection probes' homepage body."""
     body = None
     for pf in probes:

@@ -1,0 +1,92 @@
+"""End-to-end: Spark Hacker News crawl vs the sequential reference.
+
+Covers the id-range scan + iterative tree resolution path, including the
+reference's walk-cache evictions, the null-item scan abort, and the
+specific-list quirk (thread items only, zero posts)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from forum_dl_spark.crawl import CrawlConfig, run_crawl
+from forum_dl_spark.fixtures.hackernews import SyntheticHackerNews
+from forum_dl_spark.oracle.refsim_hn import (
+    run_reference_hackernews,
+    run_reference_hackernews_list,
+)
+from forum_dl_spark.spans import extract_spans
+
+SEED = "https://news.ycombinator.com/"
+
+
+def _assert_match(crawl, oracle):
+    got_trace = [
+        (r["url"], r["params"] or "")
+        for r in crawl.pages().orderBy("ord", "attempt").collect()
+    ]
+    assert got_trace == oracle.trace
+
+    got_seen = {(r["seen_key"], r["status"]) for r in crawl.seen().collect()}
+    assert got_seen == set(oracle.seen.items())
+
+    rows = crawl.items().orderBy("ord").collect()
+    assert len(rows) == len(oracle.items)
+    for got, want in zip(rows, oracle.items):
+        assert (got["type"], tuple(got["path"]), tuple(got["subpath"] or ())) == (
+            want.type, want.path, want.subpath,
+        )
+        assert got["url"] == want.url
+        assert got["origin"] == want.origin
+        assert got["title"] == want.title
+        assert got["author"] == want.author
+        assert got["content"] == want.content
+        if want.creation_time is not None:
+            assert got["creation_time"] == want.creation_time
+        if want.data is not None:
+            assert json.loads(got["data"]) == want.data
+
+
+def test_full_crawl_no_nulls(spark, tmp_path):
+    srv = SyntheticHackerNews(seed=42, n_items=120)
+    oracle = run_reference_hackernews(srv, SEED)
+    crawl = run_crawl(spark, srv, SEED, str(tmp_path / "hn"), CrawlConfig())
+    _assert_match(crawl, oracle)
+
+    # span-sequence equality over comment text payloads
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in crawl.documents().collect()
+    }
+    posts = [i for i in oracle.items if i.type == "post"]
+    assert len(got) == len(posts)
+    for p in posts:
+        want = [
+            (s.kind, s.text, s.media_ref, s.offset)
+            for s in extract_spans(p.content or "", p.origin)
+        ]
+        assert got[".".join(p.path + p.subpath)] == want
+
+
+def test_full_crawl_null_abort(spark, tmp_path):
+    """A deleted item aborts the reference's scan (common.py:334-346);
+    strict mode reproduces the truncation exactly."""
+    srv = SyntheticHackerNews(seed=42, n_items=120, allow_nulls=True)
+    oracle = run_reference_hackernews(srv, SEED)
+    assert any(srv.is_null(i) for i in range(1, 121))  # quirk exercised
+    crawl = run_crawl(spark, srv, SEED, str(tmp_path / "hn_nulls"), CrawlConfig())
+    _assert_match(crawl, oracle)
+
+
+def test_list_mode_threads_only(spark, tmp_path):
+    srv = SyntheticHackerNews(seed=42, n_items=120)
+    oracle = run_reference_hackernews_list(srv, "top")
+    crawl = run_crawl(
+        spark, srv, "https://news.ycombinator.com/news",
+        str(tmp_path / "hn_top"), CrawlConfig(),
+    )
+    _assert_match(crawl, oracle)
+    # the reference emits ZERO posts in list mode (BFS dies on the root
+    # re-fetch, session.py:112-113) — quirk preserved
+    assert crawl.items().filter("type = 'post'").count() == 0
