@@ -95,10 +95,29 @@ def detect_engine(server: object, url: str) -> DetectResult | None:
         if "pipermail" in path_parts or "mailman" in path_parts:
             return DetectResult("pipermail", url, probes.fetches)
 
-    # hypermail (hypermail.py:40-76)
+    # hypermail (hypermail.py:40-76): base = URL minus two path segments when
+    # header metas / a by-thread title are present, else the response URL
     pf = probes.try_get(normalize_url(url, remove_suffixes=(), append_slash=False))
     if pf and pf.status < 400 and _RE_HYPERMAIL.search(pf.body.decode("utf-8", "replace")):
-        return DetectResult("hypermail", url, probes.fetches)
+        body = pf.body.decode("utf-8", "replace")
+        header_metas = re.search(r'<meta name="(Author|Subject|Date)"', body)
+        title_m = re.search(r"<title>([^<]*)</title>", body)
+        title_hit = title_m and re.search(
+            "^.*?(by thread)|(by author)|(with attachments)|(by date)$",
+            title_m.group(1),
+        )
+        if header_metas or title_hit:
+            from pathlib import PurePosixPath
+            from urllib.parse import urlunparse
+
+            parsed = urlparse(pf.url)
+            parts = PurePosixPath(parsed.path).parts
+            base = normalize_url(
+                urlunparse(parsed._replace(path=str(PurePosixPath(*parts[:-2]))))
+            )
+        else:
+            base = pf.url
+        return DetectResult("hypermail", base, probes.fetches)
 
     # xenforo (xenforo.py:275-297)
     pf = probes.try_get(normalize_url(url, remove_suffixes=(), append_slash=False))

@@ -257,6 +257,23 @@ def _make_fetch_parse(server: object, retries: int, keep_bodies: bool):
                         f_should_retry=ch["should_retry"],
                     )
 
+                # one-shot cache emulation: a row carrying a cached body is a
+                # reference cache HIT (session.py:105-111) — no fetch, no
+                # trace row, but parsing still happens; the cached key's
+                # eviction is flagged at seed time (evict_probe_urls)
+                cached_b64 = row["state"].get("cached_body_b64")
+                if cached_b64 is not None:
+                    import base64 as _b64
+
+                    body = _b64.b64decode(cached_b64)
+                    engine = ENGINES[r["engine"]]
+                    items, children = engine.parse(row, 200, body, row["url"])
+                    for it in items:
+                        emit(rec="item", **it)
+                    for ch in children:
+                        emit_frontier("next", ch, 0)
+                    continue
+
                 if halted and halt_flag:
                     # a halt-flagged row earlier in this partition hit its
                     # halt condition: defer the rest of the flagged batch
@@ -564,13 +581,23 @@ def _loop(
             .drop("_rn")
         )
 
-        # anti-join against everything already seen or pending
+        # anti-join against everything already seen or pending; rows carrying
+        # a cached body bypass the gate — they ARE the cache hit for an
+        # already-seen key (session.py:105-111)
+        cached_rows = candidates.filter(
+            F.col("state").getItem("cached_body_b64").isNotNull()
+        )
+        candidates = candidates.filter(
+            F.col("state").getItem("cached_body_b64").isNull()
+        )
         seen_sofar = _read_deltas(spark, wd, "seen", step)
         seen_all = seen_sofar.select("seen_key").union(seen_delta.select("seen_key"))
         pending = remaining.select("seen_key").union(retries_df.select("seen_key"))
         new_frontier_rows = candidates.join(
             seen_all.distinct(), on="seen_key", how="left_anti"
-        ).join(pending.distinct(), on="seen_key", how="left_anti")
+        ).join(pending.distinct(), on="seen_key", how="left_anti").unionByName(
+            cached_rows
+        )
 
         next_frontier = remaining.unionByName(retries_df).unionByName(new_frontier_rows)
 

@@ -16,10 +16,11 @@ fixtures land (SURVEY.md §7 step 6).
 
 from __future__ import annotations
 
-from . import discourse, hackernews, phpbb
+from . import discourse, hackernews, hypermail, phpbb
 
 ENGINES = {
     "discourse": discourse,
     "phpbb": phpbb,
     "hackernews": hackernews,
+    "hypermail": hypermail,
 }
