@@ -66,9 +66,14 @@ _FRONTIER_CORE = [
 class CrawlConfig:
     retries: int = 4  # total attempts, reference default (options.py:49-56)
     host_budget: int | None = None  # politeness: max fetches/host/superstep
+    # per-host overrides + robots prefixes (north-rule additions; the
+    # reference has neither — SURVEY.md §4):
+    # [{"host": ..., "max_fetches_per_superstep": N, "robots_disallow": [...]}]
+    host_budgets: list[dict] | None = None
     max_supersteps: int = 10_000
     shards: int = schemas.N_SHARDS_DEFAULT
     keep_bodies: bool = True
+    use_bloom: bool = False  # bloom prefilter ahead of the seen anti-join
 
 
 @dataclass
@@ -511,14 +516,14 @@ def _loop(
             break
         t0 = time.time()
         # --- politeness pop: per-host window rank (SURVEY §4 item 2-3) ---
-        if config.host_budget is not None:
-            w = Window.partitionBy("host").orderBy("priority", "ord")
-            ranked = frontier.withColumn("_rn", F.row_number().over(w))
-            popped = ranked.filter(F.col("_rn") <= config.host_budget).drop("_rn")
-            remaining = ranked.filter(F.col("_rn") > config.host_budget).drop("_rn")
-        else:
-            popped = frontier
-            remaining = _with_derived(_empty(spark, schemas.FRONTIER).drop("seen_key", "host"))
+        from .politeness import apply_robots, budgeted_pop
+
+        budgets_df = None
+        if config.host_budgets:
+            budgets_df = spark.createDataFrame(
+                pd.DataFrame(config.host_budgets), schemas.HOST_BUDGETS
+            )
+        popped, remaining = budgeted_pop(frontier, budgets_df, config.host_budget)
 
         # --- fused fetch+parse, materialized ONCE as the step's parsed delta.
         # Everything downstream (seen, frontier tail, metrics, and the
@@ -590,14 +595,30 @@ def _loop(
         candidates = candidates.filter(
             F.col("state").getItem("cached_body_b64").isNull()
         )
+        if budgets_df is not None:
+            candidates = apply_robots(candidates, budgets_df)
         seen_sofar = _read_deltas(spark, wd, "seen", step)
         seen_all = seen_sofar.select("seen_key").union(seen_delta.select("seen_key"))
+        if config.use_bloom:
+            # bloom prefilter: definitely-new candidates skip the exact
+            # anti-join; only the maybe-seen residue shuffles (crawl/bloom.py)
+            from .bloom import bits_for, build_blooms, split_candidates
+
+            seen_keys_df = seen_sofar.select("seen_key", "shard").union(
+                seen_delta.select("seen_key", "shard")
+            )
+            n_bits = bits_for(seen_keys_df.count())
+            blooms = build_blooms(seen_keys_df, n_bits)
+            definitely_new, maybe = split_candidates(candidates, blooms, n_bits)
+            gated = definitely_new.unionByName(
+                maybe.join(seen_all.distinct(), on="seen_key", how="left_anti")
+            )
+        else:
+            gated = candidates.join(seen_all.distinct(), on="seen_key", how="left_anti")
         pending = remaining.select("seen_key").union(retries_df.select("seen_key"))
-        new_frontier_rows = candidates.join(
-            seen_all.distinct(), on="seen_key", how="left_anti"
-        ).join(pending.distinct(), on="seen_key", how="left_anti").unionByName(
-            cached_rows
-        )
+        new_frontier_rows = gated.join(
+            pending.distinct(), on="seen_key", how="left_anti"
+        ).unionByName(cached_rows)
 
         next_frontier = remaining.unionByName(retries_df).unionByName(new_frontier_rows)
 
