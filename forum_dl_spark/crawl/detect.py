@@ -119,10 +119,17 @@ def detect_engine(server: object, url: str) -> DetectResult | None:
             base = pf.url
         return DetectResult("hypermail", base, probes.fetches)
 
-    # xenforo (xenforo.py:275-297)
+    # xenforo (xenforo.py:275-297): base from the forums nav anchor
     pf = probes.try_get(normalize_url(url, remove_suffixes=(), append_slash=False))
     if pf and pf.status < 400 and _RE_XENFORO.search(pf.body.decode("utf-8", "replace")):
-        return DetectResult("xenforo", url, probes.fetches)
+        body = pf.body.decode("utf-8", "replace")
+        m = re.search(r'<a[^>]+data-nav-id="forums"[^>]+href="([^"]*)"', body)
+        if not m:
+            m = re.search(r'<a[^>]+id="header-forum-listing"[^>]+href="([^"]*)"', body)
+        if m:
+            return DetectResult(
+                "xenforo", normalize_url(urljoin(url, m.group(1))), probes.fetches
+            )
 
     # vbulletin (vbulletin.py:223-233)
     pf = probes.try_get(url)

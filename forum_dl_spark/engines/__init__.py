@@ -16,11 +16,13 @@ fixtures land (SURVEY.md §7 step 6).
 
 from __future__ import annotations
 
-from . import discourse, hackernews, hypermail, phpbb
+from . import discourse, hackernews, hypermail, phpbb, simplemachines, xenforo
 
 ENGINES = {
     "discourse": discourse,
     "phpbb": phpbb,
     "hackernews": hackernews,
     "hypermail": hypermail,
+    "xenforo": xenforo,
+    "simplemachines": simplemachines,
 }
