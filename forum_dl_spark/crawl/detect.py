@@ -131,19 +131,29 @@ def detect_engine(server: object, url: str) -> DetectResult | None:
                 "xenforo", normalize_url(urljoin(url, m.group(1))), probes.fetches
             )
 
-    # vbulletin (vbulletin.py:223-233)
+    # vbulletin (vbulletin.py:223-233): base from the <base href> tag
     pf = probes.try_get(url)
     if pf and pf.status < 400 and _RE_VBULLETIN.search(pf.body.decode("utf-8", "replace")):
-        return DetectResult("vbulletin", url, probes.fetches)
+        m = re.search(r'<base href="([^"]*)"', pf.body.decode("utf-8", "replace"))
+        if m:
+            return DetectResult("vbulletin", m.group(1), probes.fetches)
 
     # proboards (proboards.py:204-209): netloc check, no fetch
     if parsed.netloc.endswith("proboards.com"):
         return DetectResult("proboards", urljoin(url, "/"), probes.fetches)
 
-    # invision (invision.py:80-93)
+    # invision (invision.py:80-93): base from breadcrumb[1] when >=2 lis
     pf = probes.try_get(url)
     if pf and pf.status < 400 and _RE_INVISION.search(pf.body.decode("utf-8", "replace")):
-        return DetectResult("invision", url, probes.fetches)
+        body = pf.body.decode("utf-8", "replace")
+        if 'title="Invision Community"' in body:
+            from ..htmlmini import parse_html as _ph
+
+            doc = _ph(body)
+            bl = doc.find("ul", attrs={"data-role": "breadcrumbList"})
+            lis = bl.find_all("li") if bl is not None else []
+            base = url if len(lis) < 2 else lis[1].find("a").get("href")
+            return DetectResult("invision", base, probes.fetches)
 
     # discourse (discourse.py:58-72)
     u = url.removesuffix("/").removesuffix(".json")

@@ -16,7 +16,16 @@ fixtures land (SURVEY.md §7 step 6).
 
 from __future__ import annotations
 
-from . import discourse, hackernews, hypermail, phpbb, simplemachines, xenforo
+from . import (
+    discourse,
+    hackernews,
+    hypermail,
+    invision,
+    phpbb,
+    simplemachines,
+    vbulletin,
+    xenforo,
+)
 
 ENGINES = {
     "discourse": discourse,
@@ -25,4 +34,6 @@ ENGINES = {
     "hypermail": hypermail,
     "xenforo": xenforo,
     "simplemachines": simplemachines,
+    "vbulletin": vbulletin,
+    "invision": invision,
 }
