@@ -22,6 +22,7 @@ from . import (
     hypermail,
     invision,
     phpbb,
+    proboards,
     simplemachines,
     vbulletin,
     xenforo,
@@ -36,4 +37,5 @@ ENGINES = {
     "simplemachines": simplemachines,
     "vbulletin": vbulletin,
     "invision": invision,
+    "proboards": proboards,
 }
