@@ -83,17 +83,39 @@ def detect_engine(server: object, url: str) -> DetectResult | None:
     if parsed.netloc == "news.ycombinator.com":
         return DetectResult("hackernews", urljoin(url, "/"), probes.fetches)
 
-    # hyperkitty (hyperkitty.py:73-122)
+    # hyperkitty (hyperkitty.py:73-122): footer "HyperKitty" anchor +
+    # navbar-brand → base (the postorius branch is not fixture-covered)
     pf = probes.try_get(normalize_url(url, append_slash=False))
-    if pf and pf.status < 400 and _RE_HYPERKITTY.search(pf.body.decode("utf-8", "replace")):
-        return DetectResult("hyperkitty", url, probes.fetches)
+    if pf and pf.status < 400:
+        body = pf.body.decode("utf-8", "replace")
+        if "<footer" in body:
+            from ..htmlmini import parse_html as _ph
 
-    # pipermail (pipermail.py:61-112): fetch + path-suffix predicate
+            doc = _ph(body)
+            footer = doc.find("footer")
+            if footer is not None and any(
+                a.string() == "HyperKitty" for a in footer.find_all("a")
+            ):
+                brand = doc.find("a", class_="navbar-brand")
+                if brand is not None:
+                    return DetectResult(
+                        "hyperkitty",
+                        normalize_url(urljoin(url, brand.get("href"))),
+                        probes.fetches,
+                    )
+
+    # pipermail (pipermail.py:61-112): fetch + path-suffix predicate;
+    # base = URL cut at the pipermail/mailman marker
     pf = probes.try_get(url)
     if pf and pf.status < 400:
-        path_parts = urlparse(normalize_url(pf.url, append_slash=False)).path.split("/")
+        resolved = normalize_url(pf.url, append_slash=False)
+        path_parts = urlparse(resolved).path.split("/")
         if "pipermail" in path_parts or "mailman" in path_parts:
-            return DetectResult("pipermail", url, probes.fetches)
+            from ..oracle.refsim_pipermail import detect_base
+
+            base = detect_base(url, resolved)
+            if base is not None:
+                return DetectResult("pipermail", base, probes.fetches)
 
     # hypermail (hypermail.py:40-76): base = URL minus two path segments when
     # header metas / a by-thread title are present, else the response URL

@@ -20,8 +20,10 @@ from . import (
     discourse,
     hackernews,
     hypermail,
+    hyperkitty,
     invision,
     phpbb,
+    pipermail,
     proboards,
     simplemachines,
     vbulletin,
@@ -38,4 +40,6 @@ ENGINES = {
     "vbulletin": vbulletin,
     "invision": invision,
     "proboards": proboards,
+    "pipermail": pipermail,
+    "hyperkitty": hyperkitty,
 }

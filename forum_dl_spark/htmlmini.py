@@ -19,6 +19,11 @@ _VOID = {
 }
 
 
+class Comment(str):
+    """An HTML comment's text (pipermail threads are driven by comment
+    markers, forum_dl/extractors/pipermail.py:58-59,236-316)."""
+
+
 class Node:
     __slots__ = ("tag", "attrs", "children", "parent")
 
@@ -39,6 +44,13 @@ class Node:
             if isinstance(c, Node):
                 yield c
                 yield from c.iter()
+
+    def walk(self):
+        """All descendants (Nodes, text, Comments) in document order."""
+        for c in self.children:
+            yield c
+            if isinstance(c, Node):
+                yield from c.walk()
 
     def _match(self, tag: str | None, class_: str | None, attrs: dict | None) -> bool:
         if tag is not None and self.tag != tag:
@@ -87,6 +99,8 @@ class Node:
 
 
 def _render(c: object) -> str:
+    if isinstance(c, Comment):
+        return f"<!--{c}-->"
     if isinstance(c, str):
         return c
     assert isinstance(c, Node)
@@ -123,6 +137,9 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         if data:
             self.stack[-1].children.append(data)
+
+    def handle_comment(self, data: str) -> None:
+        self.stack[-1].children.append(Comment(data))
 
 
 def parse_html(html: str) -> Node:
