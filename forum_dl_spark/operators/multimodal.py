@@ -134,9 +134,30 @@ def crawl_discourse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_phpbb_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny phpBB crawl returning the completed file items — exercises the
+    HtmlExtractor file pipeline (stub emission + dedup'd downloads + body
+    join) through the driver gate. Rows-only (iterative crawl)."""
+    import tempfile
+
+    from ..crawl import CrawlConfig, run_crawl
+    from ..fixtures.phpbb import SyntheticPhpbb
+
+    srv = SyntheticPhpbb(seed=11, n_cats=1, n_subs=1, n_topics=2, max_posts=3)
+    wd = tempfile.mkdtemp(prefix="crawl_phpbb_")
+    res = run_crawl(spark, srv, "https://phpbb.example/", wd, CrawlConfig())
+    return res.items().filter(F.col("type") == "file").select(
+        "url",
+        "content_type",
+        F.length(F.col("content_bytes")).alias("n_bytes"),
+        F.array_join(F.col("subpath"), "|").alias("subpath_key"),
+    )
+
+
 QUERIES = {
     "media_features": media_features,
     "crawl_discourse_spans": crawl_discourse_spans,
+    "crawl_phpbb_files": crawl_phpbb_files,
 }
 
 # rows-only checks: stateful/iterative or binary-payload ops, not
