@@ -221,36 +221,35 @@ SIMHASH_BITS = 32
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signature per document (token-hash bit majority)."""
+    """32-bit SimHash signature per document (token-hash bit majority).
+
+    Shuffle-free: the whole signature is one narrow projection built from
+    higher-order functions — token hashes fold into a 32-slot vote vector
+    per row (no ``explode``, no crossJoin with bit positions, no groupBy).
+    At 100 TB this is a pure map over the documents scan.
+    """
     d = _docs(spark, sf_dir)
-    tokens = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
-        ).alias("tok"),
-    ).withColumn(
-        "h", F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)")
+    simhash = F.expr(
+        r"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(filter(split(lower(text), '\\s+'), x -> x != ''),
+                        tok -> cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)),
+              array_repeat(cast(0 as bigint), 32),
+              (acc, h) -> zip_with(acc,
+                                   transform(sequence(0, 31),
+                                             p -> if((h >> p) % 2 = 1,
+                                                     cast(1 as bigint),
+                                                     cast(-1 as bigint))),
+                                   (a, b) -> a + b)),
+            sequence(0, 31),
+            (v, p) -> if(v > 0, shiftleft(cast(1 as bigint), p), cast(0 as bigint))),
+          cast(0 as bigint),
+          (a, b) -> a + b)
+        """
     )
-    bits = tokens.crossJoin(
-        F.broadcast(
-            spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("pos"))
-        )
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(h >> pos) % 2") == 1, F.lit(1)).otherwise(F.lit(-1)),
-    )
-    return (
-        bits.groupBy("doc_id", "pos")
-        .agg(F.sum("vote").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("cast(pow(2, pos) as bigint)")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("simhash")
-        )
-    )
+    return d.select("doc_id", simhash.alias("simhash"))
 
 
 DEDUP_SIMHASH_SQL = f"""
@@ -271,7 +270,8 @@ votes AS (
   GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN cast(pow(2, pos) as bigint) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN cast(pow(2, pos) as bigint) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 

@@ -220,7 +220,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_SESSIONIZE_SQL = f"""
 SELECT user_id,
-       sum(new_session) AS n_sessions,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
        count(*)         AS n_events
 FROM (
   SELECT user_id,

@@ -77,18 +77,40 @@ WHERE rank <= {TOP_K}
 # Hyperplane p (p=0..LSH_PLANES-1), dimension i: weight w(p,i) in {-1,+1}
 # derived from md5(f"{p}:{i}") parity — deterministic, identical in both
 # engines. Bucket = bits of sign(v . w_p).
+#
+# The weight matrix is a CONSTANT: it is computed ONCE on the driver
+# (hashlib.md5, identical bytes to the SQL md5) and embedded as literal
+# arrays in the plan. Recomputing md5 per row x dim x plane — as the DuckDB
+# oracle legitimately does for cross-checking — would cost 6·d·N hash calls
+# at N=10^9 vectors for a matrix that never changes.
 
-_SPARK_W = (
-    "transform(sequence(0, size(v) - 1),"
-    " i -> CASE WHEN conv(substring(md5(concat(cast({p} as string), ':',"
-    " cast(i as string))), 1, 8), 16, 10) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
-)
+import hashlib
 
 
-def _spark_bucket_expr() -> str:
+def _plane_weights(p: int, dim: int) -> list[float]:
+    return [
+        1.0
+        if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.size("embedding").alias("d"))
+        .head()
+    )
+    return int(row["d"])
+
+
+def _spark_bucket_expr(dim: int) -> str:
     bits = []
     for p in range(LSH_PLANES):
-        w = _SPARK_W.format(p=p)
+        w = "array(" + ",".join(
+            "1.0D" if x > 0 else "-1.0D" for x in _plane_weights(p, dim)
+        ) + ")"
         dot = f"aggregate(zip_with(v, {w}, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
         bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(bits)
@@ -111,7 +133,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket assignment + per-bucket sizes (the ANN index structure)."""
     e = _emb(spark, sf_dir)
     return (
-        e.withColumn("bucket", F.expr(_spark_bucket_expr()).cast("int"))
+        e.withColumn("bucket", F.expr(_spark_bucket_expr(_embedding_dim(spark, sf_dir))).cast("int"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
     )
@@ -125,16 +147,34 @@ GROUP BY bucket
 """.replace("{bucket}", _duck_bucket_sql())
 
 
-def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine within LSH buckets."""
-    from pyspark.sql import functions as F
+NEARDUP_SEEDS = 20  # plant scaled copies of the first N vectors
+NEARDUP_ID_OFFSET = 1_000_000
 
-    e = _emb(spark, sf_dir).withColumn("bucket", F.expr(_spark_bucket_expr()).cast("int"))
+
+def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine within LSH buckets.
+
+    The raw fixture contains no near-dup pair, which would make this query
+    vacuously green (0 rows == 0 rows). Both engines therefore union in
+    deterministic planted near-dups — scaled copies (x * 1.25: exact in FP,
+    cosine == 1 mathematically) of the first NEARDUP_SEEDS vectors — so the
+    bucket-join + threshold logic is actually exercised and must produce
+    identical non-empty output.
+    """
+    e0 = _emb(spark, sf_dir).select("vec_id", "v")
+    planted = e0.filter(F.col("vec_id") < NEARDUP_SEEDS).select(
+        (F.col("vec_id") + NEARDUP_ID_OFFSET).alias("vec_id"),
+        F.expr("transform(v, x -> x * 1.25D)").alias("v"),
+    )
+    dim = _embedding_dim(spark, sf_dir)
+    e = e0.unionByName(planted).withColumn(
+        "bucket", F.expr(_spark_bucket_expr(dim)).cast("int")
+    )
     a = e.select(F.col("vec_id").alias("doc_a"), F.col("v"), "bucket").alias("a")
     b = e.select(F.col("vec_id").alias("doc_b"), F.col("v"), "bucket").alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_a") < F.col("b.doc_b")))
-        .withColumn("cos_sim", F.expr(f"{_SPARK_DOT.replace('a.v', 'a.v').replace('b.v', 'b.v')} / ({_SPARK_NORM_A} * {_SPARK_NORM_B})"))
+        .withColumn("cos_sim", F.expr(f"{_SPARK_DOT} / ({_SPARK_NORM_A} * {_SPARK_NORM_B})"))
         .filter(F.col("cos_sim") >= 0.99)
         .select("doc_a", "doc_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
@@ -142,8 +182,15 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_NEARDUP_SQL = f"""
 WITH e0 AS (SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings),
+aug AS (
+  SELECT vec_id, v FROM e0
+  UNION ALL
+  SELECT vec_id + {NEARDUP_ID_OFFSET} AS vec_id,
+         list_transform(v, x -> x * 1.25) AS v
+  FROM e0 WHERE vec_id < {NEARDUP_SEEDS}
+),
 e AS (
-  SELECT vec_id, v, cast({_duck_bucket_sql()} AS int) AS bucket FROM e0
+  SELECT vec_id, v, cast({_duck_bucket_sql()} AS int) AS bucket FROM aug
 )
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim

@@ -143,9 +143,9 @@ TOKEN_COUNT_SQL = r"""
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))
            AS ws_tokens,
-       list_sum(list_transform(
+       CAST(list_sum(list_transform(
            list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''),
-           x -> cast(ceil(length(x) / 4.0) as bigint)))
+           x -> cast(ceil(length(x) / 4.0) as bigint))) AS BIGINT)
            AS bpe_tokens
 FROM documents
 """

@@ -26,13 +26,20 @@ def _duck():
 
 
 def _norm_cell(v):
+    # Dtype-strict like the driver's value hash: an int and a float of equal
+    # value must NOT compare equal (5 vs 5.0 is a real hash mismatch), so
+    # numeric cells are tagged with their kind.
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            return ("f", "nan")
         # collapse float noise at the driver-hash scale
-        return round(v, 9)
+        return ("f", round(v, 9))
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     return v
