@@ -50,8 +50,10 @@ BENCH_QUERIES = [
     "embedding_neardup_cosine",
     "media_features",
 ]
-CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "30000"))
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "150000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2"))
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+CALIB_PAGES = int(os.environ.get("SPARK_GRAFT_CALIB_PAGES", "30000"))
 
 
 def run_queries() -> dict[str, float]:
@@ -72,34 +74,80 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def run_crawl_scaling() -> dict:
+    """N vs 4N crawl throughput, measured for the >=0.8 scaling gate.
+
+    Noise control (round-1 lesson: a single 30k-page run swung 0.58–1.06
+    efficiency run-to-run):
+    - REPS interleaved (N, 4N) pairs back-to-back — adjacent runs share
+      thermal/turbo state, so the per-pair efficiency is far less exposed
+      to clock drift than a ratio of runs minutes apart; the reported gate
+      number is the MEDIAN of per-pair efficiencies.
+    - 150k-page waves by default — fixed cost (job scheduling, plan,
+      shuffle setup) is <2% of the wall at this size.
+    - every raw run is emitted in the JSON so a reviewer can recompute.
+    - the hardware ceiling (same per-page work via plain multiprocessing)
+      is itself a median-of-REPS and is clamped to <=4.0x: a super-linear
+      calibration (turbo artifact) must not inflate normalized efficiency.
+    """
     def _sub(extra: list[str]) -> dict:
         p = subprocess.run(
             [sys.executable, "-m", "forum_dl_spark.bench_crawl",
-             "--pages", str(CRAWL_PAGES), *extra],
+             *extra],
             capture_output=True, text=True, cwd=str(REPO), timeout=3600,
         )
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    res = {c: _sub(["--cores", str(c)]) for c in (SCALE_N, SCALE_N * 4)}
-    cal = {c: _sub(["--cores", str(c), "--calibrate"]) for c in (SCALE_N, SCALE_N * 4)}
-    lo, hi = res[SCALE_N], res[SCALE_N * 4]
-    speedup = hi["pages_per_sec"] / lo["pages_per_sec"]
-    hw_speedup = cal[SCALE_N * 4]["pages_per_sec"] / cal[SCALE_N]["pages_per_sec"]
+    runs: dict[int, list[dict]] = {SCALE_N: [], SCALE_N * 4: []}
+    pair_eff: list[float] = []
+    for _ in range(BENCH_REPS):
+        lo = _sub(["--cores", str(SCALE_N), "--pages", str(CRAWL_PAGES)])
+        hi = _sub(["--cores", str(SCALE_N * 4), "--pages", str(CRAWL_PAGES)])
+        runs[SCALE_N].append(lo)
+        runs[SCALE_N * 4].append(hi)
+        pair_eff.append(hi["pages_per_sec"] / lo["pages_per_sec"] / 4)
+        print(f"  crawl pair: {lo['pages_per_sec']} -> {hi['pages_per_sec']} "
+              f"pages/s, eff {pair_eff[-1]:.3f}", file=sys.stderr)
+
+    cal_runs = {
+        c: [_sub(["--cores", str(c), "--pages", str(CALIB_PAGES), "--calibrate"])
+            for _ in range(BENCH_REPS)]
+        for c in (SCALE_N, SCALE_N * 4)
+    }
+    med = {c: _median([r["pages_per_sec"] for r in rs]) for c, rs in runs.items()}
+    cal_med = {c: _median([r["pages_per_sec"] for r in rs]) for c, rs in cal_runs.items()}
+    hw_speedup = cal_med[SCALE_N * 4] / cal_med[SCALE_N]
+    hw_clamped = min(hw_speedup, 4.0)
+    eff = _median(pair_eff)
+    lo_m, hi_m = runs[SCALE_N][0], runs[SCALE_N * 4][0]
     return {
         "n_cores": SCALE_N,
         "pages": CRAWL_PAGES,
-        "pages_per_sec_N": lo["pages_per_sec"],
-        "pages_per_sec_4N": hi["pages_per_sec"],
-        "frontier_urls_per_sec_N": lo["frontier_urls_per_sec"],
-        "frontier_urls_per_sec_4N": hi["frontier_urls_per_sec"],
-        "items_per_sec_4N": hi["items_per_sec"],
-        "scaling_efficiency": round(speedup / 4, 3),
+        "reps": BENCH_REPS,
+        "pages_per_sec_N": med[SCALE_N],
+        "pages_per_sec_4N": med[SCALE_N * 4],
+        "pages_per_sec_N_runs": [r["pages_per_sec"] for r in runs[SCALE_N]],
+        "pages_per_sec_4N_runs": [r["pages_per_sec"] for r in runs[SCALE_N * 4]],
+        "frontier_urls_per_sec_N": _median(
+            [r["frontier_urls_per_sec"] for r in runs[SCALE_N]]),
+        "frontier_urls_per_sec_4N": _median(
+            [r["frontier_urls_per_sec"] for r in runs[SCALE_N * 4]]),
+        "items_per_sec_4N": _median([r["items_per_sec"] for r in runs[SCALE_N * 4]]),
+        # gate number: median of per-adjacent-pair efficiencies
+        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_runs": [round(e, 3) for e in pair_eff],
         # same per-page work via plain multiprocessing — this box's memory-
         # bandwidth ceiling for N->4N (real clusters add bandwidth per node)
         "hw_ceiling_speedup": round(hw_speedup, 2),
-        "hw_ceiling_pages_per_sec_4N": cal[SCALE_N * 4]["pages_per_sec"],
-        "normalized_efficiency": round(speedup / hw_speedup, 3),
+        "hw_ceiling_pages_per_sec": {str(c): cal_med[c] for c in cal_med},
+        "normalized_efficiency": round(4 * eff / hw_clamped, 3),
+        "items": hi_m.get("items", lo_m.get("items")),
     }
 
 
@@ -118,11 +166,16 @@ def write_baseline_md(queries: dict, crawl: dict) -> None:
         f"| {crawl['n_cores']} | {crawl['pages_per_sec_N']} | {crawl['frontier_urls_per_sec_N']} |",
         f"| {crawl['n_cores'] * 4} | {crawl['pages_per_sec_4N']} | {crawl['frontier_urls_per_sec_4N']} |",
         "",
-        f"**Scaling efficiency (N->4N): {crawl['scaling_efficiency']}; "
-        f"normalized to this box's measured memory-bandwidth ceiling "
-        f"(plain-multiprocessing speedup {crawl['hw_ceiling_speedup']}x): "
-        f"{crawl['normalized_efficiency']}** "
+        f"**Scaling efficiency (N->4N): {crawl['scaling_efficiency']}** "
+        f"(median of {crawl['reps']} adjacent-pair runs: "
+        f"{crawl['scaling_efficiency_runs']}); normalized to this box's "
+        f"measured memory-bandwidth ceiling (plain-multiprocessing speedup "
+        f"{crawl['hw_ceiling_speedup']}x, clamped to 4.0): "
+        f"{crawl['normalized_efficiency']} "
         "(reference is strictly sequential: ~1 page/RTT, forum_dl/session.py:171-187)",
+        "",
+        f"Per-run pages/sec — N: {crawl['pages_per_sec_N_runs']}, "
+        f"4N: {crawl['pages_per_sec_4N_runs']}",
         "",
         "## Analytics queries (seconds)",
         "",

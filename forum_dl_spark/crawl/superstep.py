@@ -161,14 +161,39 @@ class CrawlResult:
             )
             .dropDuplicates(["url"])
         )
+        # data-URI stubs never hit the network: decode inline, JVM-side
+        # (reference write_file regex branch, writers/common.py:162-167 +
+        # 178-181, with the files-output-path materialization inlined)
+        data_re = r"^data:(.+/.+);base64,(.*)$"
+        data_stubs = stubs.filter(F.col("url").startswith("data:")).select(
+            *[
+                c
+                for c in _ITEM_COLS
+                if c not in ("content_type", "content_bytes")
+            ],
+            F.when(
+                F.regexp_extract("url", data_re, 1) != "",
+                F.regexp_extract("url", data_re, 1),
+            ).alias("content_type"),
+            F.when(
+                F.regexp_extract("url", data_re, 1) != "",
+                F.unbase64(F.regexp_extract("url", data_re, 2)),
+            ).alias("content_bytes"),
+            "superstep",
+        ).select(*_ITEM_COLS, "superstep")
         filled = (
-            stubs.join(bodies, "url", "left")
+            stubs.filter(~F.col("url").startswith("data:"))
+            .join(bodies, "url", "left")
             .withColumn("content_bytes", F.col("_body"))
             .withColumn("content_type", F.col("_ctype"))
             .drop("_body", "_ctype")
             .select(*_ITEM_COLS, "superstep")
         )
-        return rest.select(*_ITEM_COLS, "superstep").unionByName(filled)
+        return (
+            rest.select(*_ITEM_COLS, "superstep")
+            .unionByName(filled)
+            .unionByName(data_stubs)
+        )
 
     def seen(self) -> DataFrame:
         """Final URL-seen set, excluding one-shot-evicted cache entries

@@ -236,9 +236,12 @@ def _parse_thread_page(row: dict, body: bytes, resp_url: str):
                     _item("file", p_path, ref.url, resp_url, f_ord,
                           subpath=p_subpath + [ref.url])
                 )
-                children.append(
-                    _row(ref.url, "file", p_path, 1, {"base": base}, f_ord)
-                )
+                if not ref.url.startswith("data:"):
+                    # data-URI media decode at export time — never fetched
+                    # (writers/common.py:162-167,178-181)
+                    children.append(
+                        _row(ref.url, "file", p_path, 1, {"base": base}, f_ord)
+                    )
     if nxt := _next_href(doc):
         n_ord = child(dfs, idx)
         children.append(

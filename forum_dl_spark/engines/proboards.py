@@ -212,8 +212,11 @@ def _parse_thread_page(row, body, resp_url):
             else:
                 items.append(_item("file", p_path, ref.url, resp_url, f_ord,
                                    subpath=[pid, ref.url]))
-                children.append(_row(ref.url, "file", p_path, 1,
-                                     {"base": base}, f_ord))
+                if not ref.url.startswith("data:"):
+                    # data-URI media decode at export time — never fetched
+                    # (writers/common.py:162-167,178-181)
+                    children.append(_row(ref.url, "file", p_path, 1,
+                                         {"base": base}, f_ord))
     if nxt := _next_href(doc):
         n_ord = child(dfs, idx)
         children.append(_row(urljoin(resp_url, nxt), "thread_page",

@@ -49,6 +49,76 @@ def _textify_udf():
     return udf
 
 
+_BOUNDARY = "=_forum_dl_spark_mixed"
+_SEP = f"\r\n--{_BOUNDARY}\r\n"
+
+
+def _quote_plus_udf():
+    # reference attachment filenames use Python quote_plus
+    # (writers/common.py:339-342); a pandas UDF keeps exact parity (JVM
+    # url_encode differs on '*' and '~'). Applied only to file rows — a tiny
+    # fraction of the data.
+    from urllib.parse import quote_plus
+
+    @F.pandas_udf("string")
+    def udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: quote_plus(x) if x is not None else None)
+
+    return udf
+
+
+def _attachments(items: DataFrame) -> DataFrame:
+    """File items → one pre-rendered MIME part per file, keyed by the owning
+    post's full path.
+
+    Reference MailWriter._write_file_object (writers/common.py:328-349): a
+    File attaches to the post when ``file.subpath[:-1] == post.subpath``
+    (file subpath = post subpath + (url,), extractors/common.py:480-569) —
+    same thread path implied by emission adjacency, made explicit here as
+    the join key ``path + subpath[:-1]``. Part = base64 payload with
+    ``Content-Disposition: attachment; filename=quote_plus(url)``.
+    """
+    qp = _quote_plus_udf()
+    files = items.filter(
+        (F.col("type") == "file") & (F.size(F.coalesce("subpath", F.array())) >= 1)
+    )
+    b64 = F.regexp_replace(
+        F.base64(F.coalesce(F.col("content_bytes"), F.lit(b""))),
+        "(.{76})", "$1\r\n",
+    )
+    part = F.concat_ws(
+        "\r\n",
+        F.concat(
+            F.lit("Content-Type: "),
+            F.coalesce(F.col("content_type"), F.lit("application/octet-stream")),
+        ),
+        F.lit("MIME-Version: 1.0"),
+        F.lit("Content-Transfer-Encoding: base64"),
+        F.concat(
+            F.lit("Content-Disposition: attachment; filename="), qp(F.col("url"))
+        ),
+        F.lit(""),
+        b64,
+    )
+    owner = F.concat(
+        F.col("path"), F.slice(F.col("subpath"), 1, F.size("subpath") - 1)
+    )
+    return (
+        files.select(owner.alias("_full"), F.col("ord").alias("f_ord"), part.alias("part"))
+        .groupBy("_full")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("f_ord", "part"))),
+                    lambda x: x["part"],
+                ),
+                _SEP,
+            ).alias("_parts_joined"),
+            F.count("*").alias("n_attachments"),
+        )
+    )
+
+
 def build_messages(
     items: DataFrame,
     base_host: str,
@@ -57,6 +127,7 @@ def build_messages(
     content_as_title: bool = False,
     author_as_addr_spec: bool = False,
     foldered: bool = False,
+    attachments: bool = True,
 ) -> DataFrame:
     """posts (+thread titles) → one message row per post."""
     posts = items.filter(F.col("type") == "post")
@@ -108,7 +179,16 @@ def build_messages(
             "folder",
             F.array_join(F.slice(F.col("path"), 1, F.size("path") - 1), "."),
         )
-    raw = F.concat_ws(
+    if attachments:
+        att = _attachments(items)
+        msg = msg.join(att, "_full", "left")
+    else:
+        msg = msg.withColumn("_parts_joined", F.lit(None).cast("string")).withColumn(
+            "n_attachments", F.lit(None).cast("long")
+        )
+    msg = msg.withColumn("n_attachments", F.coalesce("n_attachments", F.lit(0)))
+
+    headers = F.concat_ws(
         "\r\n",
         F.concat(F.lit("Message-ID: "), F.col("message_id")),
         F.concat(F.lit("Content-Location: "), F.col("url")),
@@ -118,12 +198,35 @@ def build_messages(
         F.concat(F.lit("From: "), F.coalesce(F.col("from_header"), F.lit(""))),
         F.concat(F.lit("Subject: "), F.coalesce(F.col("subject"), F.lit(""))),
         F.lit("MIME-Version: 1.0"),
+    )
+    single = F.concat_ws(
+        "\r\n",
+        headers,
         F.lit('Content-Type: text/html; charset="utf-8"'),
         F.lit(""),
         F.coalesce(F.col("body"), F.lit("")),
     )
+    # deterministic constant boundary (reference relies on email.mime's
+    # random boundary; exports here must be reproducible)
+    multi = F.concat(
+        headers,
+        F.lit("\r\n"),
+        F.lit(f'Content-Type: multipart/mixed; boundary="{_BOUNDARY}"'),
+        F.lit("\r\n"),
+        F.lit(_SEP),
+        F.concat_ws(
+            "\r\n",
+            F.lit('Content-Type: text/html; charset="utf-8"'),
+            F.lit(""),
+            F.coalesce(F.col("body"), F.lit("")),
+        ),
+        F.lit(_SEP),
+        F.coalesce(F.col("_parts_joined"), F.lit("")),
+        F.lit(f"\r\n--{_BOUNDARY}--\r\n"),
+    )
+    raw = F.when(F.col("n_attachments") > 0, multi).otherwise(single)
     cols = ["ord", "message_id", "in_reply_to", "subject", "from_header",
-            "date_rfc2822", "body"]
+            "date_rfc2822", "body", "n_attachments"]
     if foldered:
         cols.append("folder")
     return msg.withColumn("raw_message", raw).select(*cols, "raw_message")
@@ -141,5 +244,73 @@ def export_mbox(messages: DataFrame, out_path: str) -> None:
 
 
 def export_maildir_partitioned(messages: DataFrame, out_path: str) -> None:
-    """FolderedMailWriter equivalent: partitionBy(folder) columnar write."""
+    """Columnar folder layout: partitionBy(folder) parquet — the scale-path
+    companion of :func:`export_mailbox` (at 100 TB you keep messages
+    columnar; a real Maildir of 10^9 files is an anti-pattern)."""
     messages.write.mode("overwrite").partitionBy("folder").parquet(out_path)
+
+
+_MAILBOX_KINDS = ("maildir", "mh", "babyl", "mmdf", "mbox")
+
+
+def export_mailbox(messages: DataFrame, out_path: str, fmt: str = "maildir") -> int:
+    """Real stdlib-``mailbox`` export — Maildir/MH/Babyl/MMDF/mbox on disk,
+    parseable back by any mail tool.
+
+    Mirrors the reference writers (writers/maildir.py:13–23, mh.py, babyl.py,
+    mmdf.py, mbox.py): messages added in crawl order; for Maildir/MH, posts
+    land in the board folder ``".".join(path[:-1])`` via ``add_folder``
+    (FolderedMailWriter, writers/common.py:400–430). Babyl/MMDF are written
+    flat: the stdlib classes have no ``add_folder``, so the reference's
+    foldered Babyl/MMDF writers would raise AttributeError on the first
+    board — a latent reference crash this export does not reproduce.
+
+    This is the small-scale verification sink (single-filesystem formats
+    are inherently driver-side); results stream through
+    ``toLocalIterator`` — never a full ``collect``. Returns message count.
+    """
+    import email
+    import mailbox as mb
+
+    if fmt not in _MAILBOX_KINDS:
+        raise ValueError(f"unknown mailbox format {fmt!r}")
+    factories = {
+        "maildir": lambda: mb.Maildir(out_path, create=True),
+        "mh": lambda: mb.MH(out_path, create=True),
+        "babyl": lambda: mb.Babyl(out_path, create=True),
+        "mmdf": lambda: mb.MMDF(out_path, create=True),
+        "mbox": lambda: mb.mbox(out_path, create=True),
+    }
+    box = factories[fmt]()
+    foldered = fmt in ("maildir", "mh") and "folder" in messages.columns
+    folders: dict[str, object] = {}
+    n = 0
+    if fmt in ("mbox", "mmdf", "babyl"):
+        box.lock()
+    try:
+        for r in messages.orderBy("ord").toLocalIterator():
+            m = email.message_from_string(r["raw_message"])
+            target = box
+            if foldered and r["folder"]:
+                name = r["folder"]
+                if fmt == "mh" and name.isdigit():
+                    # stdlib MH stores messages as digit-named files in the
+                    # same directory as folders: a digit-named folder is
+                    # indistinguishable from a message key (mailbox.py MH
+                    # iterkeys). The reference's MhWriter hits exactly this
+                    # with numeric board ids; prefix to keep the box valid.
+                    name = f"board.{name}"
+                if name not in folders:
+                    try:
+                        folders[name] = box.get_folder(name)
+                    except mb.NoSuchMailboxError:
+                        folders[name] = box.add_folder(name)
+                target = folders[name]
+            target.add(m)
+            n += 1
+    finally:
+        box.flush()
+        if fmt in ("mbox", "mmdf", "babyl"):
+            box.unlock()
+        box.close()
+    return n

@@ -51,6 +51,15 @@ def interleaved_html(seed: int, post_id: int) -> str:
         # (reference caches by URL, forum_dl/session.py:105-111 via
         # download_file's should_cache=True, extractors/common.py:396-401)
         parts.append('<img src="/img/shared_banner.png">')
+    if h % 23 == 0:
+        # inline data-URI media: decoded at export, never fetched
+        # (reference write_file regex branch, writers/common.py:162-167)
+        from base64 import b64encode
+
+        _, payload = media_bytes(seed, f"{post_id}_inline.png")
+        parts.append(
+            f'<img src="data:image/png;base64,{b64encode(payload).decode()}">'
+        )
     parts.append(f"<p>{words(seed, f'{post_id}:z', 4 + h % 5)}</p>")
     return "".join(parts)
 

@@ -20,6 +20,8 @@ Follows forum_dl/extractors/simplemachines.py + HtmlExtractor:
 from __future__ import annotations
 
 import re
+from base64 import b64decode
+import re
 from dataclasses import dataclass, field
 from urllib.parse import urljoin
 
@@ -268,6 +270,12 @@ class _SmfSim:
         if ref is not None and ref.content is not None:
             item.content_type = ref.content_type
             item.content_bytes = ref.content
+        elif (m := re.match(r"data:(.+/.+);base64,(.*)", item.url)):
+            # data-URI decode without a session fetch — the reference's
+            # write_file regex branch (writers/common.py:162-167), with the
+            # files-output-path materialization inlined into the item
+            item.content_type = m.group(1)
+            item.content_bytes = b64decode(m.group(2))
         else:
             try:
                 r = self.session.try_get(item.url, should_cache=True)
