@@ -1,0 +1,149 @@
+"""Real-HTTP backend + CLI integration.
+
+A localhost ``http.server`` serves the synthetic phpBB fixture; the crawl
+runs through the requests-backed ``HttpServer`` adapter and must reproduce
+the in-process fixture crawl's exact fetch trace, seen set, and items —
+proving the adapter honors the server protocol (status/content-type/body,
+FetchError on transport failure) byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlparse
+
+import pytest
+
+from forum_dl_spark.crawl import CrawlConfig, run_crawl
+from forum_dl_spark.crawl.http import HttpServer, validate_url
+from forum_dl_spark.fixtures.phpbb import SyntheticPhpbb
+from forum_dl_spark.fixtures.remap import HostRemap as _HostRemap
+from forum_dl_spark.oracle.session import FetchError
+
+
+@pytest.fixture(scope="module")
+def fixture_server():
+    return SyntheticPhpbb(seed=42, n_cats=1, n_subs=1, n_topics=2, max_posts=4)
+
+
+@pytest.fixture(scope="module")
+def http_base(fixture_server):
+    """Localhost HTTP bridge over the fixture. Paths under /__fail/N/ close
+    the connection N times before serving (transport-failure simulation)."""
+    fail_counts: dict[str, int] = {}
+    state = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            path = self.path
+            if path.startswith("/__fail/"):
+                _, _, n, rest = path.split("/", 3)
+                key = "/" + rest
+                left = fail_counts.setdefault(key, int(n))
+                if left > 0:
+                    fail_counts[key] = left - 1
+                    self.connection.close()  # abrupt: requests -> ConnectionError
+                    return
+                path = key
+            remap = _HostRemap(fixture_server, state["base"])
+            try:
+                status, ctype, body = remap.get(f"{state['base'].rstrip('/')}{path}")
+            except FetchError:
+                self.connection.close()
+                return
+            self.send_response(status)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    state["base"] = f"http://127.0.0.1:{httpd.server_address[1]}/"
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield state["base"]
+    httpd.shutdown()
+
+
+def test_validate_url():
+    assert validate_url("https://example.com/x")
+    assert validate_url("http://example.com")
+    assert not validate_url("ftp://example.com/x")
+    assert not validate_url("data:image/png;base64,AAAA")
+    assert not validate_url("not a url")
+
+
+def test_http_adapter_reproduces_exact_trace(spark, fixture_server, http_base,
+                                             tmp_path):
+    # in-process run at the SAME base (host-remapped fixture)
+    ref = run_crawl(
+        spark, _HostRemap(fixture_server, http_base), http_base,
+        str(tmp_path / "inproc"), CrawlConfig(),
+    )
+    # real-HTTP run through the requests adapter
+    got = run_crawl(
+        spark, HttpServer(timeout=10.0), http_base,
+        str(tmp_path / "http"), CrawlConfig(),
+    )
+    trace = lambda c: [
+        (r["url"], r["params"] or "", r["status_code"])
+        for r in c.pages().orderBy("ord", "attempt").collect()
+    ]
+    assert trace(got) == trace(ref)
+    seen = lambda c: {(r["seen_key"], r["status"]) for r in c.seen().collect()}
+    assert seen(got) == seen(ref)
+    it = lambda c: [
+        (r["type"], tuple(r["path"] or ()), r["url"], r["content"])
+        for r in c.items().orderBy("ord").collect()
+    ]
+    assert it(got) == it(ref)
+
+
+def test_http_adapter_transport_retry(spark, http_base, tmp_path):
+    # a URL that fails twice then succeeds: adapter must raise FetchError on
+    # the closed connections and the superstep re-enqueues until success
+    srv = HttpServer(timeout=10.0)
+    url = f"{http_base}__fail/2/viewforum.php?f=1"
+    with pytest.raises(FetchError):
+        srv.get(url, None, 0)
+    with pytest.raises(FetchError):
+        srv.get(url, None, 1)
+    status, ctype, body = srv.get(url, None, 2)
+    assert status == 200 and body
+
+
+def test_http_adapter_rejects_bad_scheme():
+    with pytest.raises(ValueError):
+        HttpServer().get("ftp://example.com/x", None, 0)
+
+
+def test_cli_jsonl_end_to_end(spark, http_base, tmp_path, capsys):
+    from forum_dl_spark.cli import build_parser, download
+
+    out = str(tmp_path / "out.jsonl")
+    args = build_parser().parse_args(
+        [http_base, "-f", "jsonl", "-o", out, "--workdir", str(tmp_path / "wd")]
+    )
+    written = download(args.urls, args, spark=spark)
+    assert written == [out]
+    lines = [json.loads(l) for l in _read_spark_text(spark, out)]
+    assert lines and lines[0]["extractor"] == "phpbb"
+    assert {e["type"] for e in lines} >= {"board", "thread", "post"}
+
+
+def test_cli_lists(capsys):
+    from forum_dl_spark.cli import main
+
+    assert main(["--list-extractors"]) == 0
+    assert "phpbb" in capsys.readouterr().out
+    assert main(["--list-output-formats"]) == 0
+    assert "maildir" in capsys.readouterr().out
+
+
+def _read_spark_text(spark, path):
+    return [r["value"] for r in spark.read.text(path).collect()]
