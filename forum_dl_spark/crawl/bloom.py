@@ -96,6 +96,47 @@ def bits_for(expected_keys: int) -> int:
     return max(1024, int(BITS_PER_KEY * max(expected_keys, 1)))
 
 
+class BloomState:
+    """Incremental sharded bloom maintained across supersteps.
+
+    Built ONCE from the full seen set (with 2x key headroom so routine
+    growth never forces a rebuild), then each wave ORs in only the current
+    seen DELTA — a toPandas of (shard, xxhash64) pairs, wave-sized, never
+    the historical set. A full rebuild happens only when the key count
+    outgrows the sized capacity (FP rate would otherwise degrade)."""
+
+    def __init__(self, blooms: dict[int, bytes], n_bits: int, keys: int) -> None:
+        self.blooms = blooms
+        self.n_bits = n_bits
+        self.keys = keys
+
+    @classmethod
+    def build(cls, seen_keys: DataFrame) -> "BloomState":
+        n_keys = seen_keys.count()
+        n_bits = bits_for(2 * n_keys)
+        return cls(build_blooms(seen_keys, n_bits), n_bits, n_keys)
+
+    def over_capacity(self) -> bool:
+        return self.keys * BITS_PER_KEY > self.n_bits
+
+    def update(self, seen_delta: DataFrame) -> None:
+        pdf = seen_delta.select(
+            F.col("shard"), F.xxhash64(F.col("seen_key")).alias("h")
+        ).toPandas()
+        for s, grp in pdf.groupby("shard"):
+            raw = self.blooms.get(int(s))
+            bits = (
+                np.unpackbits(np.frombuffer(raw, dtype=np.uint8))[: self.n_bits]
+                .astype(bool)
+                if raw is not None
+                else np.zeros(self.n_bits, dtype=bool)
+            )
+            for pos in _positions(grp["h"].to_numpy(), self.n_bits):
+                bits[pos] = True
+            self.blooms[int(s)] = np.packbits(bits).tobytes()
+        self.keys += len(pdf)
+
+
 def expected_fp_rate(n_keys: int, n_bits: int) -> float:
     if n_keys == 0:
         return 0.0

@@ -83,8 +83,10 @@ def detect_engine(server: object, url: str) -> DetectResult | None:
     if parsed.netloc == "news.ycombinator.com":
         return DetectResult("hackernews", urljoin(url, "/"), probes.fetches)
 
-    # hyperkitty (hyperkitty.py:73-122): footer "HyperKitty" anchor +
-    # navbar-brand → base (the postorius branch is not fixture-covered)
+    # hyperkitty (hyperkitty.py:73-122): one probe, two footer checks in
+    # reference order — Postorius first (footer "Postorius Documentation"
+    # anchor, base from the SECOND a.nav-link, hyperkitty.py:93-106), then
+    # HyperKitty (footer "HyperKitty" anchor + navbar-brand)
     pf = probes.try_get(normalize_url(url, append_slash=False))
     if pf and pf.status < 400:
         body = pf.body.decode("utf-8", "replace")
@@ -93,6 +95,19 @@ def detect_engine(server: object, url: str) -> DetectResult | None:
 
             doc = _ph(body)
             footer = doc.find("footer")
+            if footer is not None and any(
+                a.string() == "Postorius Documentation"
+                for a in footer.find_all("a")
+            ):
+                nav_links = doc.find_all("a", class_="nav-link")
+                # reference indexes nav_link_anchors[1] unconditionally
+                # (hyperkitty.py:104); guard the <2 case instead of crashing
+                if len(nav_links) >= 2:
+                    return DetectResult(
+                        "hyperkitty",
+                        normalize_url(urljoin(url, nav_links[1].get("href"))),
+                        probes.fetches,
+                    )
             if footer is not None and any(
                 a.string() == "HyperKitty" for a in footer.find_all("a")
             ):

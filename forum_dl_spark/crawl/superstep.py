@@ -32,6 +32,7 @@ Scale design decisions (the ones that matter at 10^10 URLs / 1000 executors):
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import shutil
 import time
@@ -74,6 +75,11 @@ class CrawlConfig:
     shards: int = schemas.N_SHARDS_DEFAULT
     keep_bodies: bool = True
     use_bloom: bool = False  # bloom prefilter ahead of the seen anti-join
+    # merge all seen deltas into one compact table every K supersteps so the
+    # per-step anti-join reads O(K) files instead of O(steps) — without it a
+    # long crawl re-opens every historical delta each wave (O(steps^2) file
+    # opens over the crawl). 0 disables.
+    compact_every: int = 16
 
 
 @dataclass
@@ -227,7 +233,7 @@ class CrawlResult:
         return out
 
 
-def _with_derived(df: DataFrame) -> DataFrame:
+def _with_derived(df: DataFrame, shards: int = schemas.N_SHARDS_DEFAULT) -> DataFrame:
     """seen_key / host / shard derivation — JVM-side column expressions."""
     seen_key = F.when(F.col("params") == "", F.col("url")).otherwise(
         F.concat(F.col("url"), F.lit("\x00"), F.col("params"))
@@ -235,7 +241,9 @@ def _with_derived(df: DataFrame) -> DataFrame:
     return (
         df.withColumn("seen_key", seen_key)
         .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
-        .withColumn("shard", F.pmod(F.xxhash64(F.col("seen_key")), F.lit(32)).cast("int"))
+        .withColumn(
+            "shard", F.pmod(F.xxhash64(F.col("seen_key")), F.lit(shards)).cast("int")
+        )
     )
 
 
@@ -394,6 +402,7 @@ def run_crawl(
     config: CrawlConfig | None = None,
 ) -> CrawlResult:
     config = config or CrawlConfig()
+    _validate_config(config)
     wd = Path(workdir)
     if wd.exists():
         shutil.rmtree(wd)
@@ -428,7 +437,11 @@ def run_crawl(
             "url": pf.url,
             "status": "ok" if pf.status >= 0 else "failed",
             "superstep": 0,
-            "evict": 1 if pf.url in evict_urls else 0,
+            # eviction matched on the full seen_key (url + params); engine
+            # evict lists are param-less URLs == their seen_key
+            "evict": 1
+            if (pf.url if not pf.params else f"{pf.url}\x00{pf.params}") in evict_urls
+            else 0,
         }
         for pf in det.fetches
     ]
@@ -456,7 +469,8 @@ def run_crawl(
     )
     _atomic_write(
         seen0.withColumn(
-            "shard", F.pmod(F.xxhash64(F.col("seen_key")), F.lit(32)).cast("int")
+            "shard",
+            F.pmod(F.xxhash64(F.col("seen_key")), F.lit(config.shards)).cast("int"),
         ),
         step0 / "seen",
     )
@@ -483,7 +497,8 @@ def run_crawl(
                 for r in frontier_rows
             ],
             schemas.FRONTIER,
-        ).drop("seen_key", "host")
+        ).drop("seen_key", "host"),
+        config.shards,
     )
     _atomic_write(frontier, step0 / "frontier")
     (step0 / "metrics.json").write_text(
@@ -496,8 +511,10 @@ def run_crawl(
                 "seed_url": seed_url,
                 "base_url": det.base_url,
                 "engine": det.engine,
-                "retries": config.retries,
-                "host_budget": config.host_budget,
+                # full config: a bare resume must reproduce EVERY knob
+                # (robots rules, bloom, shards, body retention) — restoring
+                # only retries would re-enqueue previously-disallowed URLs
+                "config": dataclasses.asdict(config),
             }
         )
     )
@@ -505,14 +522,51 @@ def run_crawl(
     return _loop(spark, server, wd, det.engine, det.base_url, config, start_step=1)
 
 
+def _validate_config(config: CrawlConfig) -> None:
+    if config.host_budget is not None and config.host_budget < 1:
+        raise ValueError(
+            f"host_budget must be >= 1 (got {config.host_budget}): a 0 budget "
+            "would never drain that host's frontier"
+        )
+    for hb in config.host_budgets or ():
+        if hb.get("max_fetches_per_superstep", 1) < 1:
+            raise ValueError(
+                f"max_fetches_per_superstep must be >= 1 for host "
+                f"{hb.get('host')!r}"
+            )
+    if config.shards < 1:
+        raise ValueError("shards must be >= 1")
+
+
 def resume_crawl(
     spark: SparkSession, server: object, workdir: str, config: CrawlConfig | None = None
 ) -> CrawlResult:
-    """Resume from the last complete superstep (north_rule: bit-identical)."""
+    """Resume from the last complete superstep (north_rule: bit-identical).
+
+    The full CrawlConfig is restored from meta.json unless an explicit
+    override is passed."""
     wd = Path(workdir)
     meta = json.loads((wd / "meta.json").read_text())
-    config = config or CrawlConfig(retries=meta["retries"], host_budget=meta["host_budget"])
+    if config is None:
+        stored = meta.get("config")
+        if stored is not None:
+            # max_supersteps bounds a single INVOCATION (it is how a run is
+            # killed mid-crawl); a bare resume continues to completion
+            config = CrawlConfig(
+                **{**stored, "max_supersteps": CrawlConfig.max_supersteps}
+            )
+        else:  # pre-full-config checkpoint layout
+            config = CrawlConfig(
+                retries=meta["retries"], host_budget=meta["host_budget"]
+            )
+    _validate_config(config)
     done = sorted(p for p in (wd / "steps").glob("*") if (p / "_COMPLETE").exists())
+    if not done:
+        raise ValueError(
+            f"nothing to resume in {workdir}: no superstep has a _COMPLETE "
+            "marker (the crawl died before its first checkpoint — rerun "
+            "run_crawl)"
+        )
     # drop any incomplete step dirs (killed mid-write)
     for p in (wd / "steps").glob("*"):
         if not (p / "_COMPLETE").exists():
@@ -534,6 +588,8 @@ def _loop(
 ) -> CrawlResult:
     fetch_parse = _make_fetch_parse(server, config.retries, config.keep_bodies)
     step = start_step
+    bloom_state = None
+    prev_frontier_size = None
     frontier = spark.read.parquet(str(wd / "steps" / f"{start_step - 1:05d}" / "frontier"))
 
     while step < config.max_supersteps:
@@ -578,7 +634,8 @@ def _loop(
                 .alias("status"),
                 F.lit(step).alias("superstep"),
                 F.coalesce(F.col("p_seen_evict"), F.lit(0)).alias("evict"),
-            )
+            ),
+            config.shards,
         ).select("seen_key", "url", "status", "superstep", "evict", "shard")
 
         def _fr(prefix: str, rec: str) -> DataFrame:
@@ -595,7 +652,8 @@ def _loop(
                     F.col(f"{prefix}ord").alias("ord"),
                     F.col(f"{prefix}attempt").alias("attempt"),
                     F.col(f"{prefix}should_retry").alias("should_retry"),
-                )
+                ),
+                config.shards,
             )
 
         retries_df = _fr("f_", "retry")
@@ -622,19 +680,26 @@ def _loop(
         )
         if budgets_df is not None:
             candidates = apply_robots(candidates, budgets_df)
-        seen_sofar = _read_deltas(spark, wd, "seen", step)
+        seen_sofar = _read_seen_sofar(spark, wd, step)
         seen_all = seen_sofar.select("seen_key").union(seen_delta.select("seen_key"))
         if config.use_bloom:
             # bloom prefilter: definitely-new candidates skip the exact
-            # anti-join; only the maybe-seen residue shuffles (crawl/bloom.py)
-            from .bloom import bits_for, build_blooms, split_candidates
+            # anti-join; only the maybe-seen residue shuffles (crawl/bloom.py).
+            # The sketch is INCREMENTAL: built once, then only the current
+            # delta's shards are OR-ed in each wave; a full rebuild happens
+            # only when the key count outgrows the sized capacity.
+            from .bloom import BloomState, split_candidates
 
-            seen_keys_df = seen_sofar.select("seen_key", "shard").union(
-                seen_delta.select("seen_key", "shard")
+            if bloom_state is None or bloom_state.over_capacity():
+                seen_keys_df = seen_sofar.select("seen_key", "shard").union(
+                    seen_delta.select("seen_key", "shard")
+                )
+                bloom_state = BloomState.build(seen_keys_df)
+            else:
+                bloom_state.update(seen_delta)
+            definitely_new, maybe = split_candidates(
+                candidates, bloom_state.blooms, bloom_state.n_bits
             )
-            n_bits = bits_for(seen_keys_df.count())
-            blooms = build_blooms(seen_keys_df, n_bits)
-            definitely_new, maybe = split_candidates(candidates, blooms, n_bits)
             gated = definitely_new.unionByName(
                 maybe.join(seen_all.distinct(), on="seen_key", how="left_anti")
             )
@@ -649,6 +714,15 @@ def _loop(
 
         # --- checkpoint the rest of the superstep ---
         _atomic_write(seen_delta.repartition("shard"), step_dir / "seen")
+        if config.compact_every and step % config.compact_every == 0:
+            # periodic merge: everything <= this step into one table, so the
+            # next waves' anti-join reads O(compact_every) files, not O(steps)
+            _atomic_write(
+                _read_seen_sofar(spark, wd, step)
+                .unionByName(spark.read.parquet(str(step_dir / "seen")))
+                .repartition("shard"),
+                step_dir / "seen_compact",
+            )
         # engine-specific driver hook (e.g. hackernews descending id scan)
         engine_mod = ENGINES[engine]
         if hasattr(engine_mod, "post_wave"):
@@ -670,6 +744,21 @@ def _loop(
         }
         (step_dir / "metrics.json").write_text(json.dumps(metrics))
         (step_dir / "_COMPLETE").write_text("ok")
+        # spin-guard: nothing parsed (not even a cached-row consume shrank
+        # the frontier) while rows remain — e.g. a zero budget would
+        # otherwise write empty step dirs until max_supersteps
+        if (
+            sum(rec_counts.values()) == 0
+            and frontier_size > 0
+            and prev_frontier_size is not None
+            and frontier_size >= prev_frontier_size
+        ):
+            raise RuntimeError(
+                f"superstep {step}: nothing popped while {frontier_size} "
+                "frontier rows remain — the crawl cannot make progress "
+                "(check host_budgets)"
+            )
+        prev_frontier_size = frontier_size
         step += 1
 
     engine_mod = ENGINES[engine]
@@ -686,10 +775,22 @@ def _loop(
     )
 
 
-def _read_deltas(spark: SparkSession, wd: Path, name: str, upto_step: int) -> DataFrame:
-    paths = [
-        str(p)
-        for p in sorted(Path(wd, "steps").glob(f"*/{name}"))
+def _seen_paths_sofar(wd: Path, upto_step: int) -> list[str]:
+    """Latest compact (if any) + the deltas after it — O(compact_every)
+    files regardless of crawl length."""
+    compacts = sorted(
+        p
+        for p in Path(wd, "steps").glob("*/seen_compact")
         if int(p.parent.name) < upto_step
+    )
+    base = int(compacts[-1].parent.name) if compacts else -1
+    paths = ([str(compacts[-1])] if compacts else []) + [
+        str(p)
+        for p in sorted(Path(wd, "steps").glob("*/seen"))
+        if base < int(p.parent.name) < upto_step
     ]
-    return spark.read.parquet(*paths)
+    return paths
+
+
+def _read_seen_sofar(spark: SparkSession, wd: Path, upto_step: int) -> DataFrame:
+    return spark.read.parquet(*_seen_paths_sofar(wd, upto_step))

@@ -36,13 +36,19 @@ class SyntheticHyperkitty:
     def __init__(self, seed: int = 42, lists: tuple[str, ...] = ("mylist.example",),
                  n_threads: int = 3, max_replies: int = 5,
                  threads_per_page: int = 2,
-                 fail_urls: dict[str, int] | None = None) -> None:
+                 fail_urls: dict[str, int] | None = None,
+                 postorius: bool = False) -> None:
         self.seed = seed
         self.lists = lists
         self.n_threads = n_threads
         self.max_replies = max_replies
         self.threads_per_page = threads_per_page
         self.fail_urls = fail_urls or {}
+        # Postorius front-end variant: same HyperKitty archive behind a
+        # Postorius list page (reference detect_postorius,
+        # hyperkitty.py:93-106 — footer "Postorius Documentation" anchor,
+        # base from the SECOND a.nav-link)
+        self.postorius = postorius
 
     def thread_ids(self, list_id: str) -> list[str]:
         return [f"T{k}" for k in range(1, self.n_threads + 1)]
@@ -107,6 +113,16 @@ class SyntheticHyperkitty:
         return 404, "text/plain", b"not found"
 
     def _list_page(self, lid: str) -> bytes:
+        if self.postorius:
+            return (
+                "<html><head><title>List</title></head><body>"
+                '<nav><a class="nav-link" href="/accounts/">Account</a>'
+                '<a class="nav-link" href="/">Archives</a></nav>'
+                f'<section id="title"><h1>{lid} archive</h1></section>'
+                '<footer><a href="https://docs.mailman3.org">'
+                "Postorius Documentation</a></footer>"
+                "</body></html>"
+            ).encode()
         return (
             "<html><head><title>List</title></head><body>"
             f'<nav><a class="navbar-brand" href="/">HK</a></nav>'

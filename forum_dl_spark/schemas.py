@@ -122,19 +122,8 @@ HOST_BUDGETS = StructType(
     ]
 )
 
-METRICS = StructType(
-    [
-        StructField("superstep", IntegerType(), False),
-        StructField("popped", LongType(), False),
-        StructField("fetched_ok", LongType(), False),
-        StructField("fetched_failed", LongType(), False),
-        StructField("items", LongType(), False),
-        StructField("new_frontier", LongType(), False),
-        StructField("frontier_size", LongType(), False),
-        StructField("seen_size", LongType(), False),
-        StructField("wall_sec", StringType(), False),
-    ]
-)
+# Per-superstep metrics are written as metrics.json (see superstep._loop),
+# not parquet — no StructType needed.
 
 # Combined output schema of the fetch+parse mapInPandas stage. A single
 # Arrow round-trip produces both item rows and next-frontier rows,

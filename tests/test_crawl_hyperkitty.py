@@ -43,3 +43,29 @@ def test_hyperkitty(spark, tmp_path):
     assert any(p.subpath == () for p in posts)
     chunk_urls = [p.url for p in posts if p.subpath]
     assert len(set(chunk_urls)) < len(chunk_urls)
+
+
+def test_postorius_variant_detects_and_matches(spark, tmp_path):
+    """Postorius front-end (reference detect_postorius,
+    hyperkitty.py:93-106): detection resolves the same archive base from the
+    second a.nav-link and the crawl is identical to the plain variant."""
+    from forum_dl_spark.crawl.detect import detect_engine
+
+    plain = SyntheticHyperkitty(seed=42)
+    post = SyntheticHyperkitty(seed=42, postorius=True)
+    det = detect_engine(post, SEED_URL)
+    assert det is not None and det.engine == "hyperkitty"
+    assert det.base_url == detect_engine(plain, SEED_URL).base_url
+
+    ref = run_crawl(spark, plain, SEED_URL, str(tmp_path / "plain"), CrawlConfig())
+    got = run_crawl(spark, post, SEED_URL, str(tmp_path / "post"), CrawlConfig())
+    trace = lambda c: [
+        (r["url"], r["params"] or "")
+        for r in c.pages().orderBy("ord", "attempt").collect()
+    ]
+    assert trace(got) == trace(ref)
+    items = lambda c: [
+        (r["ord"], r["type"], r["url"], r["content"])
+        for r in c.items().orderBy("ord").collect()
+    ]
+    assert items(got) == items(ref)

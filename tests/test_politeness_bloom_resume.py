@@ -119,3 +119,97 @@ def test_oracle_still_matches_under_budget(spark, server, tmp_path):
         for r in res.pages().orderBy("ord", "attempt").collect()
     ]
     assert got == oracle.trace
+
+
+def test_invalid_config_rejected(spark, server, tmp_path):
+    with pytest.raises(ValueError, match="host_budget"):
+        run_crawl(spark, server, SEED_URL, str(tmp_path / "bad"),
+                  CrawlConfig(host_budget=0))
+    with pytest.raises(ValueError, match="max_fetches_per_superstep"):
+        run_crawl(
+            spark, server, SEED_URL, str(tmp_path / "bad2"),
+            CrawlConfig(host_budgets=[
+                {"host": "forum.example", "max_fetches_per_superstep": 0,
+                 "robots_disallow": []}
+            ]),
+        )
+
+
+def test_resume_without_checkpoint_is_clear_error(spark, server, tmp_path):
+    import json
+    from pathlib import Path
+
+    wd = tmp_path / "empty"
+    (wd / "steps").mkdir(parents=True)
+    (wd / "meta.json").write_text(json.dumps(
+        {"seed_url": SEED_URL, "base_url": SEED_URL, "engine": "discourse",
+         "config": {}}))
+    with pytest.raises(ValueError, match="_COMPLETE"):
+        resume_crawl(spark, server, str(wd))
+
+
+def test_resume_restores_full_config(spark, server, tmp_path):
+    """Robots rules persist through meta.json: a bare resume must not
+    enqueue previously-disallowed URLs."""
+    cfg = CrawlConfig(
+        max_supersteps=2,
+        host_budgets=[{"host": "forum.example",
+                       "max_fetches_per_superstep": 100,
+                       "robots_disallow": ["/t/"]}],
+    )
+    wd = str(tmp_path / "rr")
+    run_crawl(spark, server, SEED_URL, wd, cfg)
+    res = resume_crawl(spark, server, wd)  # no explicit config
+    urls = [r["url"] for r in res.pages().collect()]
+    assert not any("/t/" in u for u in urls)
+
+
+def _long_server():
+    from forum_dl_spark.fixtures.phpbb import SyntheticPhpbb
+
+    # deep sequential board pagination: 1 topic per page -> the page chain
+    # alone is ~n_topics supersteps
+    return SyntheticPhpbb(seed=7, n_cats=1, n_subs=0, n_topics=30,
+                          max_posts=1, topics_per_page=1, posts_per_page=5)
+
+
+def test_long_crawl_compaction_bounded_and_identical(spark, tmp_path):
+    from forum_dl_spark.crawl.superstep import _seen_paths_sofar
+
+    srv = _long_server()
+    seed = "https://phpbb.example/"
+    plain = run_crawl(spark, srv, seed, str(tmp_path / "plain"),
+                      CrawlConfig(compact_every=0))
+    comp = run_crawl(spark, srv, seed, str(tmp_path / "comp"),
+                     CrawlConfig(compact_every=5))
+    assert comp.supersteps > 20, "fixture must produce a long crawl"
+    assert _tables(comp) == _tables(plain)
+    # the anti-join read set is bounded by the compaction interval...
+    from pathlib import Path
+
+    n_paths = len(_seen_paths_sofar(Path(comp.workdir), comp.supersteps))
+    assert n_paths <= 5 + 1
+    # ...while the uncompacted run reads one delta per step
+    assert len(_seen_paths_sofar(Path(plain.workdir), plain.supersteps)) > 20
+
+
+def test_resume_on_compacted_run_bit_identical(spark, tmp_path):
+    srv = _long_server()
+    seed = "https://phpbb.example/"
+    full = run_crawl(spark, srv, seed, str(tmp_path / "full"),
+                     CrawlConfig(compact_every=5))
+    wd = str(tmp_path / "killed")
+    run_crawl(spark, srv, seed, wd,
+              CrawlConfig(compact_every=5, max_supersteps=12))
+    res = resume_crawl(spark, srv, wd)
+    assert _tables(res) == _tables(full)
+
+
+def test_incremental_bloom_long_crawl_identical(spark, tmp_path):
+    srv = _long_server()
+    seed = "https://phpbb.example/"
+    plain = run_crawl(spark, srv, seed, str(tmp_path / "nb"),
+                      CrawlConfig(compact_every=5))
+    bloomed = run_crawl(spark, srv, seed, str(tmp_path / "wb"),
+                        CrawlConfig(compact_every=5, use_bloom=True))
+    assert _tables(bloomed) == _tables(plain)
