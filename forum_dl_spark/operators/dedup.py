@@ -82,17 +82,21 @@ list_distinct([substring(text, i, {SHINGLE_K})
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) pairs after the stop-shingle document-frequency cap."""
+    """(doc_id, shingle) pairs after the stop-shingle document-frequency cap.
+
+    The cap is a groupBy + semi-join, not a count() window: the aggregate
+    gets a map-side partial combine and skips the per-shingle-partition sort
+    a window would pay — at 100 TB the shingle relation is the largest
+    intermediate in the whole suite."""
     d = _docs(spark, sf_dir)
     sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
-    from pyspark.sql import Window
-
-    df_w = Window.partitionBy("shingle")
-    return (
-        sh.withColumn("df", F.count("*").over(df_w))
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= STOP_SHINGLE_DF)
-        .drop("df")
+        .select("shingle")
     )
+    return sh.join(keep, "shingle", "left_semi").select("doc_id", "shingle")
 
 
 _DUCK_SHINGLE_CTE = f"""

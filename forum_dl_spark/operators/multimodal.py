@@ -90,22 +90,28 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, sf_dir)
 
     def featurize(batches):
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for r in pdf.to_dict("records"):
-                payload: bytes = r["payload"]
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "content_type": r["content_type"],
-                        "n_bytes": len(payload),
-                        "byte_mean": round(sum(payload) / max(len(payload), 1), 4),
-                        "phash": hashlib.md5(payload).hexdigest()[:16],
-                        "thumb_w": min(r["width"], 32),
-                        "thumb_h": min(r["height"], 32),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content_type": pdf["content_type"],
+                    "n_bytes": payloads.map(len),
+                    # numpy view over each buffer — no per-byte Python loop
+                    "byte_mean": [
+                        round(float(np.frombuffer(p, dtype=np.uint8).mean()), 4)
+                        if len(p)
+                        else 0.0
+                        for p in payloads
+                    ],
+                    "phash": [hashlib.md5(p).hexdigest()[:16] for p in payloads],
+                    "thumb_w": np.minimum(pdf["width"], 32),
+                    "thumb_h": np.minimum(pdf["height"], 32),
+                },
+                columns=[f.name for f in FEATURES_SCHEMA.fields],
+            )
 
     return media.mapInPandas(featurize, FEATURES_SCHEMA)
 
