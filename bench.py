@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "ann_lsh_buckets",
     "embedding_neardup_cosine",
     "media_features",
+    "dedup_clusters",
+    "stratified_sample",
 ]
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "150000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2"))

@@ -10,11 +10,12 @@ Modules:
 - textops:     lang-ID, quality scoring, token counts, fingerprints, spans
 - similarity:  brute-force cosine top-k + LSH-bucketed ANN
 - multimodal:  binary-column plumbing with stubbed decode
+- pipeline:    dup-cluster connected components + stratified sampling
 """
 
-from . import dedup, multimodal, relational, similarity, textops
+from . import dedup, multimodal, pipeline, relational, similarity, textops
 
-_MODULES = [relational, dedup, textops, similarity, multimodal]
+_MODULES = [relational, dedup, textops, similarity, multimodal, pipeline]
 
 
 def all_queries():

@@ -1,0 +1,203 @@
+"""Pipeline-level operators over the dedup outputs: duplicate-cluster
+resolution and deterministic stratified sampling.
+
+A raw near-dup pair list is not directly actionable for a training-data
+pipeline — keep/drop decisions need the CONNECTED COMPONENTS of the pair
+graph (a ~ b ~ c must collapse to one cluster even when (a, c) was never a
+candidate pair). ``dedup_clusters`` computes them with iterative min-label
+propagation over the MinHash-LSH candidate edges; the DuckDB oracle computes
+the same fixpoint with a recursive CTE (transitive closure + min).
+
+Scale notes: plain propagation converges in O(graph diameter) joined
+iterations — dup clusters in web corpora are shallow (near-clique shaped),
+so the diameter is small; for adversarially long chains the
+large-star/small-star (path-doubling) variant of Kiveris et al.'s
+"Connected Components in MapReduce" drops it to O(log n) rounds. Each
+iteration is one shuffle on doc_id; labels are (id, id) pairs — tiny
+relative to the text.
+
+``stratified_sample`` keeps a per-stratum fraction decided by a portable
+32-bit hash of the doc id (md5 prefix — identical in Spark and DuckDB), so
+the sample is reproducible row-for-row across engines and runs: the
+standard trick for train/eval splits that must never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _DUCK_SHINGLE_CTE, _DUCK_H32, LSH_BANDS, MINHASH_K, dedup_minhash_lsh
+
+MAX_CC_ITERS = 50
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _pointer_jump(labels: DataFrame) -> DataFrame:
+    """Collapse the parent-pointer forest to its roots: repeat
+    label(d) := label(label(d)) until fixpoint — O(log depth) rounds over
+    the tiny (id, id) label table. Valid because cluster_id is always the
+    id of some document (a min over doc ids)."""
+    for _ in range(MAX_CC_ITERS):
+        parent = labels.select(
+            F.col("doc_id").alias("p_doc"), F.col("cluster_id").alias("p_lbl")
+        )
+        jumped = (
+            labels.join(parent, labels.cluster_id == parent.p_doc)
+            .select("doc_id", F.col("p_lbl").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(
+                labels.withColumnRenamed("cluster_id", "_old"), "doc_id"
+            )
+            .filter(F.col("cluster_id") != F.col("_old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"pointer jumping did not converge in {MAX_CC_ITERS} rounds")
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id): connected components of the MinHash-LSH pair
+    graph; cluster_id = min doc_id in the component (singletons keep
+    themselves). The canonical keep-one-per-cluster rule is then
+    ``keep = (doc_id == cluster_id)``.
+
+    Alternating min-neighbor + pointer-jumping rounds: plain propagation
+    needs O(diameter) edge joins (24 on the sf0.01 graph — LSH chains run
+    long); pointer jumping contracts each round's parent forest in
+    O(log depth) label-only joins, so the edge relation is touched only
+    O(log n) times. ``localCheckpoint`` truncates the iterative lineage so
+    plans stay flat."""
+    edges = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ITERS):
+        # A: min over current neighbor labels (one edge shuffle)
+        neigh = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("n_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("cluster_id", "_old"), "doc_id")
+            .filter(F.col("cluster_id") != F.col("_old"))
+            .count()
+        )
+        if changed == 0:
+            return labels
+        # B: collapse the new parent forest to roots (label-only joins)
+        labels = _pointer_jump(new)
+    raise RuntimeError(f"label propagation did not converge in {MAX_CC_ITERS} rounds")
+
+
+DEDUP_CLUSTERS_SQL = (
+    _DUCK_SHINGLE_CTE.replace("WITH sh_raw", "WITH RECURSIVE sh_raw", 1)
+    + f""",
+mh AS (
+  SELECT doc_id, j, min({_DUCK_H32}) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS j)
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, CAST(j // {MINHASH_K // LSH_BANDS} AS int) AS band,
+         string_agg(CAST(mh AS varchar), ',' ORDER BY j) AS sig
+  FROM mh GROUP BY 1, 2
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+)
+
+
+# --- deterministic stratified sampling -----------------------------------------
+
+# per-stratum keep percentage (length buckets)
+SAMPLE_RATES = {"short": 100, "medium": 50, "long": 25}
+_BUCKET_SPARK = (
+    "CASE WHEN length(text) < 200 THEN 'short' "
+    "WHEN length(text) < 1000 THEN 'medium' ELSE 'long' END"
+)
+_BUCKET_DUCK = _BUCKET_SPARK  # identical ANSI CASE
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-stratum sample: keep iff
+    md5-hash32('samp:' || doc_id) % 100 < rate(bucket)."""
+    d = _docs(spark, sf_dir)
+    h = (
+        "cast(conv(substring(md5(concat('samp:', cast(doc_id as string))), 1, 8),"
+        " 16, 10) as bigint) % 100"
+    )
+    return (
+        d.withColumn("bucket", F.expr(_BUCKET_SPARK))
+        .withColumn("_h", F.expr(h))
+        .withColumn(
+            "_rate",
+            F.when(F.col("bucket") == "short", SAMPLE_RATES["short"])
+            .when(F.col("bucket") == "medium", SAMPLE_RATES["medium"])
+            .otherwise(SAMPLE_RATES["long"]),
+        )
+        .filter(F.col("_h") < F.col("_rate"))
+        .select("doc_id", "bucket")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, bucket FROM (
+  SELECT doc_id,
+         {_BUCKET_DUCK} AS bucket,
+         cast(concat('0x', substring(md5(concat('samp:', cast(doc_id as varchar))),
+                                     1, 8)) as bigint) % 100 AS h
+  FROM documents
+)
+WHERE h < CASE WHEN bucket = 'short' THEN {SAMPLE_RATES["short"]}
+               WHEN bucket = 'medium' THEN {SAMPLE_RATES["medium"]}
+               ELSE {SAMPLE_RATES["long"]} END
+"""
+
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+    "stratified_sample": stratified_sample,
+}
+
+ORACLES = {
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+}
