@@ -65,6 +65,9 @@ def run_queries() -> dict[str, float]:
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
                       shuffle_partitions=2 * CPUS)
     qs = all_queries()
+    # JVM/codegen/Arrow warmup outside the timed window: the first query
+    # otherwise pays ~4s of one-time JIT that is not the query's cost
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").groupBy("l_returnflag").count().collect()
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

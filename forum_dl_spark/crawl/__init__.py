@@ -1,5 +1,6 @@
 from .detect import DetectResult, detect_engine
-from .superstep import CrawlConfig, CrawlResult, resume_crawl, run_crawl
+from .superstep import (CrawlConfig, CrawlResult, resume_crawl, run_crawl,
+                        run_crawl_multi)
 
 __all__ = [
     "DetectResult",
@@ -7,5 +8,6 @@ __all__ = [
     "CrawlConfig",
     "CrawlResult",
     "run_crawl",
+    "run_crawl_multi",
     "resume_crawl",
 ]

@@ -538,6 +538,25 @@ def _validate_config(config: CrawlConfig) -> None:
         raise ValueError("shards must be >= 1")
 
 
+def run_crawl_multi(
+    spark: SparkSession,
+    server: object,
+    seed_urls: list[str],
+    workdir: str,
+    config: CrawlConfig | None = None,
+) -> list[CrawlResult]:
+    """Crawl a seed LIST with the reference's semantics: one independent
+    crawl — fresh seen set, fresh state — per seed URL, in order
+    (forumdl.py:15–31 builds a fresh Session per URL). Each seed gets its
+    own subdirectory of ``workdir``; results come back in seed order, so
+    trace/seen/items of each element are bit-identical to a standalone
+    ``run_crawl`` of that seed."""
+    return [
+        run_crawl(spark, server, url, f"{workdir}/seed-{i:03d}", config)
+        for i, url in enumerate(seed_urls)
+    ]
+
+
 def resume_crawl(
     spark: SparkSession, server: object, workdir: str, config: CrawlConfig | None = None
 ) -> CrawlResult:

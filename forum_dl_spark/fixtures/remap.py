@@ -6,6 +6,20 @@ from __future__ import annotations
 from urllib.parse import urlparse
 
 
+class MultiHost:
+    """Dispatch by netloc so one server object serves several sites —
+    the transport for multi-seed crawls over synthetic fixtures."""
+
+    def __init__(self, *servers):
+        self._by_host = {urlparse(s.base_url).netloc: s for s in servers}
+
+    def get(self, url: str, params=None, attempt: int = 0):
+        srv = self._by_host.get(urlparse(url).netloc)
+        if srv is None:
+            return 404, "text/plain", b"unknown host"
+        return srv.get(url, params=params, attempt=attempt)
+
+
 class HostRemap:
     def __init__(self, inner, public_base: str):
         self.inner = inner
