@@ -74,3 +74,59 @@ def budgeted_pop(frontier: DataFrame, host_budgets: DataFrame | None,
     popped = ranked.filter(F.col("_rn") <= F.col("_budget")).drop("_rn", "_budget")
     remaining = ranked.filter(F.col("_rn") > F.col("_budget")).drop("_rn", "_budget")
     return popped, remaining
+
+
+def fetch_robots(server: object, hosts: list[str], scheme: str = "https",
+                 user_agent: str = "*") -> list[dict]:
+    """Fetch and parse /robots.txt per host into ``host_budgets`` rows.
+
+    Driver-side, one fetch per distinct host (hosts are few relative to
+    URLs; at 10^10-frontier scale this list is still only the distinct-host
+    dimension, and the result is a broadcast table). Parsing follows the
+    common-case prefix semantics of ``urllib.robotparser``: Disallow lines
+    from the ``User-agent: *`` group (or the matching agent group), with
+    ``Crawl-delay`` mapped onto ``max_fetches_per_superstep`` when present
+    (one fetch per delay window per superstep is the BSP equivalent of the
+    reference-less sequential sleep).
+
+    A missing or failing robots.txt means no restrictions for that host —
+    the de-facto web convention.
+    """
+    out: list[dict] = []
+    for host in dict.fromkeys(hosts):  # stable order, deduped
+        url = f"{scheme}://{host}/robots.txt"
+        try:
+            status, _, body = server.get(url, None, 0)
+        except Exception:
+            continue
+        if status >= 400:
+            continue
+        disallow: list[str] = []
+        delay: float | None = None
+        applies = False
+        for raw in body.decode("utf-8", "replace").splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key, val = key.strip().lower(), val.strip()
+            if key == "user-agent":
+                applies = val == "*" or val.lower() in user_agent.lower()
+            elif applies and key == "disallow" and val:
+                disallow.append(val)
+            elif applies and key == "crawl-delay":
+                try:
+                    delay = float(val)
+                except ValueError:
+                    pass
+        if disallow or delay:
+            out.append(
+                {
+                    "host": host,
+                    "max_fetches_per_superstep": max(1, int(60 / delay))
+                    if delay
+                    else 2**31 - 1,
+                    "robots_disallow": disallow,
+                }
+            )
+    return out

@@ -75,6 +75,11 @@ class CrawlConfig:
     shards: int = schemas.N_SHARDS_DEFAULT
     keep_bodies: bool = True
     use_bloom: bool = False  # bloom prefilter ahead of the seen anti-join
+    # fetch /robots.txt for the seed host at crawl start and merge its
+    # Disallow prefixes / Crawl-delay into host_budgets (explicit entries
+    # win). Driver-side config acquisition — not part of the crawl trace
+    # (the reference fetches no robots at all; SURVEY.md §4).
+    fetch_robots: bool = False
     # merge all seen deltas into one compact table every K supersteps so the
     # per-step anti-join reads O(K) files instead of O(steps) — without it a
     # long crawl re-opens every historical delta each wave (O(steps^2) file
@@ -414,6 +419,25 @@ def run_crawl(
         raise ValueError(f"no engine detected for {seed_url}")
     engine_mod = ENGINES[det.engine]
 
+    if config.fetch_robots:
+        from urllib.parse import urlparse as _up
+
+        from .politeness import fetch_robots as _fetch_robots
+
+        u = _up(seed_url)
+        explicit = {hb["host"] for hb in config.host_budgets or ()}
+        fetched_rules = [
+            hb
+            for hb in _fetch_robots(server, [u.netloc], scheme=u.scheme or "https")
+            if hb["host"] not in explicit
+        ]
+        if fetched_rules:
+            config = dataclasses.replace(
+                config, host_budgets=(config.host_budgets or []) + fetched_rules
+            )
+        # the merged rules persist in meta.json below → a bare resume
+        # reuses them without refetching (bit-identical)
+
     probe_pages = [
         {
             "rec": "page" if pf.status >= 0 else "pfail",
@@ -609,6 +633,7 @@ def _loop(
     step = start_step
     bloom_state = None
     prev_frontier_size = None
+    seen_total = _read_seen_sofar(spark, wd, start_step).count()
     frontier = spark.read.parquet(str(wd / "steps" / f"{start_step - 1:05d}" / "frontier"))
 
     while step < config.max_supersteps:
@@ -759,8 +784,12 @@ def _loop(
             "items": int(rec_counts.get("item", 0)),
             "new_frontier": int(rec_counts.get("next", 0)),
             "frontier_size": int(frontier_size),
+            "seen_size": int(
+                seen_total + rec_counts.get("page", 0) + rec_counts.get("failed", 0)
+            ),
             "wall_sec": round(time.time() - t0, 3),
         }
+        seen_total = metrics["seen_size"]
         (step_dir / "metrics.json").write_text(json.dumps(metrics))
         (step_dir / "_COMPLETE").write_text("ok")
         # spin-guard: nothing parsed (not even a cached-row consume shrank

@@ -20,6 +20,21 @@ class MultiHost:
         return srv.get(url, params=params, attempt=attempt)
 
 
+class WithRobots:
+    """Overlay a /robots.txt onto a fixture host (the fixtures themselves
+    404 unknown paths, which means 'no restrictions')."""
+
+    def __init__(self, inner, robots_txt: str):
+        self.inner = inner
+        self.base_url = inner.base_url
+        self.robots_txt = robots_txt
+
+    def get(self, url: str, params=None, attempt: int = 0):
+        if urlparse(url).path == "/robots.txt":
+            return 200, "text/plain", self.robots_txt.encode()
+        return self.inner.get(url, params=params, attempt=attempt)
+
+
 class HostRemap:
     def __init__(self, inner, public_base: str):
         self.inner = inner

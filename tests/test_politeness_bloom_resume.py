@@ -213,3 +213,54 @@ def test_incremental_bloom_long_crawl_identical(spark, tmp_path):
     bloomed = run_crawl(spark, srv, seed, str(tmp_path / "wb"),
                         CrawlConfig(compact_every=5, use_bloom=True))
     assert _tables(bloomed) == _tables(plain)
+
+
+def test_fetch_robots_gates_crawl(spark, server, tmp_path):
+    """fetch_robots=True pulls /robots.txt at crawl start and its Disallow
+    prefixes gate the frontier like explicit host_budgets."""
+    from forum_dl_spark.fixtures.remap import WithRobots
+
+    srv = WithRobots(
+        server,
+        "User-agent: other\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /t/\nCrawl-delay: 0.5\n",
+    )
+    res = run_crawl(spark, srv, SEED_URL, str(tmp_path / "robots_auto"),
+                    CrawlConfig(fetch_robots=True))
+    urls = [r["url"] for r in res.pages().collect()]
+    assert any("/c/" in u for u in urls)
+    assert not any("/t/" in u for u in urls)
+    # persisted into meta.json -> bare resume keeps the gate
+    import json as _json
+    from pathlib import Path as _Path
+
+    meta = _json.loads((_Path(res.workdir) / "meta.json").read_text())
+    hbs = meta["config"]["host_budgets"]
+    assert any("/t/" in p for hb in hbs for p in hb["robots_disallow"])
+
+
+def test_fetch_robots_absent_means_unrestricted(spark, server, baseline,
+                                                tmp_path):
+    """No robots.txt (fixture 404s it) -> identical crawl to baseline."""
+    res = run_crawl(spark, server, SEED_URL, str(tmp_path / "robots_404"),
+                    CrawlConfig(fetch_robots=True))
+    assert _tables(res) == _tables(baseline)
+
+
+def test_fetch_robots_parser():
+    from forum_dl_spark.crawl.politeness import fetch_robots
+
+    class _Srv:
+        def get(self, url, params=None, attempt=0):
+            assert url == "https://h.example/robots.txt"
+            return 200, "text/plain", (
+                b"# comment\nUser-agent: SpecialBot\nDisallow: /private/\n\n"
+                b"User-agent: *\nDisallow: /a/\nDisallow: /b/\nCrawl-delay: 10\n"
+            )
+
+    rows = fetch_robots(_Srv(), ["h.example", "h.example"])
+    assert rows == [{
+        "host": "h.example",
+        "max_fetches_per_superstep": 6,  # 60 / crawl-delay 10
+        "robots_disallow": ["/a/", "/b/"],
+    }]
