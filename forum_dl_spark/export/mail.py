@@ -77,6 +77,11 @@ def _attachments(items: DataFrame) -> DataFrame:
     same thread path implied by emission adjacency, made explicit here as
     the join key ``path + subpath[:-1]``. Part = base64 payload with
     ``Content-Disposition: attachment; filename=quote_plus(url)``.
+
+    Inline-SVG files carry ``subpath == post.subpath`` (common.py:555-567),
+    so their join key is the THREAD path — never a message key — and they
+    stay unattached, exactly like the reference's
+    ``subpath[:-1] != post.subpath`` adjacency check.
     """
     qp = _quote_plus_udf()
     files = items.filter(
