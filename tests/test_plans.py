@@ -1,0 +1,67 @@
+"""Physical-plan regression guards: the PLANS.md claims, pinned by tests.
+
+These assert plan SHAPE (pruned read schemas, shuffle counts), not timing —
+a refactor that silently reintroduces a shuffle or un-prunes the body column
+fails here long before a benchmark would notice.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(df) -> int:
+    # count shuffle exchanges in the pre-AQE physical plan
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.count("Exchange hashpartitioning") + s.count("Exchange rangepartitioning")
+
+
+def test_simhash_is_shuffle_free(spark):
+    from forum_dl_spark.operators.dedup import dedup_simhash
+
+    df = dedup_simhash(spark, SF)
+    assert _n_exchanges(df) == 0, _plan(df)
+    # and the scan reads only the two needed columns
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in _plan(df)
+
+
+def test_ann_lsh_single_exchange_and_literal_weights(spark):
+    from forum_dl_spark.operators.similarity import ann_lsh_buckets
+
+    df = ann_lsh_buckets(spark, SF)
+    # partial agg -> one exchange -> final agg
+    assert _n_exchanges(df) == 1, _plan(df)
+    # hyperplane weights are plan literals, not per-row md5 calls
+    plan = _plan(df)
+    assert "md5" not in plan
+    assert "[1.0,-1.0" in plan.replace(" ", "") or "[-1.0,1.0" in plan.replace(" ", "")
+
+
+def test_token_count_narrow(spark):
+    from forum_dl_spark.operators.textops import token_count
+
+    df = token_count(spark, SF)
+    assert _n_exchanges(df) == 0, _plan(df)
+
+
+def test_crawl_pages_projection_prunes_body(spark, tmp_path):
+    """The scheduler-facing projections read pruned schemas: a url/ord
+    selection over pages() must NOT read the body column from parquet."""
+    from forum_dl_spark.crawl import CrawlConfig, run_crawl
+    from forum_dl_spark.fixtures.phpbb import SyntheticPhpbb
+
+    srv = SyntheticPhpbb(seed=42, n_cats=1, n_subs=1, n_topics=2, max_posts=4)
+    res = run_crawl(spark, srv, "https://phpbb.example/", str(tmp_path / "c"),
+                    CrawlConfig())
+    plan = _plan(res.pages().select("url", "ord"))
+    import re
+
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert schemas
+    assert all("p_body" not in s for s in schemas), plan
