@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "spans_interleave",
     "cosine_topk_bruteforce",
     "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "ann_recall_at_k",
     "embedding_neardup_cosine",
     "media_features",
     "dedup_clusters",

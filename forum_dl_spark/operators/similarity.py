@@ -147,6 +147,93 @@ GROUP BY bucket
 """.replace("{bucket}", _duck_bucket_sql())
 
 
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN QUERY path: top-k per query restricted to same-bucket
+    candidates (single-probe IVF-style). Complements
+    ``cosine_topk_bruteforce`` (the exact baseline) — at 10^9 vectors the
+    brute-force NLJ is infeasible; the bucket join touches only
+    |bucket(q)| candidates per query. Recall is measured by
+    ``ann_recall_at_k``; on the isotropic random fixture it is a LOWER
+    bound (near-orthogonal vectors have no locality to exploit — the
+    planted near-dups in ``embedding_neardup_cosine`` show the buckets do
+    capture locality when it exists; real-corpus embeddings cluster)."""
+    from pyspark.sql import Window
+
+    dim = _embedding_dim(spark, sf_dir)
+    e = _emb(spark, sf_dir).withColumn(
+        "bucket", F.expr(_spark_bucket_expr(dim)).cast("int")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v"), "bucket"
+    ).alias("a")
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v"), "bucket").alias("b")
+    pairs = q.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.query_id") != F.col("b.neighbor_id")),
+    ).withColumn("cos_sim", F.expr(f"{_SPARK_DOT} / ({_SPARK_NORM_A} * {_SPARK_NORM_B})"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+ANN_TOPK_SQL = f"""
+WITH e0 AS (SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings),
+e AS (SELECT vec_id, v, cast({{bucket}} AS int) AS bucket FROM e0),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.v, b.v) AS cos_sim
+  FROM e a JOIN e b
+    ON a.bucket = b.bucket AND a.vec_id < {N_QUERIES} AND a.vec_id != b.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+WHERE rank <= {TOP_K}
+""".replace("{bucket}", _duck_bucket_sql())
+
+
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the single-probe ANN vs the exact baseline, per query —
+    the standard eval for an ANN index (same computation both engines)."""
+    exact = cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor_id")
+    )
+    hit = exact.join(
+        ann,
+        (exact.query_id == ann.query_id)
+        & (exact.neighbor_id == ann.ann_neighbor_id),
+        "left",
+    ).select(
+        exact.query_id.alias("qid"),
+        F.col("ann_neighbor_id").isNotNull().cast("int").alias("hit"),
+    )
+    return hit.groupBy(F.col("qid").alias("query_id")).agg(
+        F.round(F.sum("hit") / F.count("*"), 6).alias("recall")
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH exact AS ({COSINE_TOPK_SQL.strip()}),
+ann AS ({ANN_TOPK_SQL.strip()})
+SELECT exact.query_id,
+       round(CAST(sum(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS recall
+FROM exact LEFT JOIN ann
+  ON exact.query_id = ann.query_id AND exact.neighbor_id = ann.neighbor_id
+GROUP BY exact.query_id
+"""
+
+
 NEARDUP_SEEDS = 20  # plant scaled copies of the first N vectors
 NEARDUP_ID_OFFSET = 1_000_000
 
@@ -202,11 +289,15 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.99
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_recall_at_k": ann_recall_at_k,
     "embedding_neardup_cosine": embedding_neardup_cosine,
 }
 
 ORACLES = {
     "cosine_topk_bruteforce": COSINE_TOPK_SQL,
     "ann_lsh_buckets": ANN_LSH_SQL,
+    "ann_lsh_topk": ANN_TOPK_SQL,
+    "ann_recall_at_k": ANN_RECALL_SQL,
     "embedding_neardup_cosine": EMBEDDING_NEARDUP_SQL,
 }
