@@ -1,0 +1,134 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (one blocking request at a time,
+forum_dl/session.py:171–187), but this engine's checkpoint layout — one
+append-only ``parsed`` parquet delta per superstep — IS a file-source
+stream: a downstream consumer can tail a live crawl without touching the
+crawl loop. Two streaming operators, each verified against its batch
+equivalent (stream result == batch result on the same input, the strongest
+oracle a stream can have):
+
+- :func:`stream_post_counts` — event-time windowed aggregation with a
+  watermark over the crawl's post items (documents-per-hour while the
+  crawl runs).
+- :func:`stream_sessionize` — custom stateful sessionization with
+  ``applyInPandasWithState`` over the events table, same session rule as
+  the batch ``events_sessionize`` operator (30-min gap).
+
+Both use ``Trigger.AvailableNow`` in tests (process everything, then stop)
+so results are deterministic; on a live crawl the same queries run with a
+processing-time trigger and the watermark bounds state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .. import schemas
+
+SESSION_GAP_MIN = 30  # same rule as operators.relational.events_sessionize
+
+
+def stream_post_counts(spark: SparkSession, workdir: str) -> DataFrame:
+    """Streaming DataFrame: posts per 1-hour event-time window per engine,
+    with a 2-hour watermark for late items. Source = the crawl's parsed
+    deltas (append-only parquet under ``steps/*/parsed``)."""
+    src = (
+        spark.readStream.schema(schemas.PARSED)
+        .option("recursiveFileLookup", "false")
+        .parquet(f"{workdir}/steps/*/parsed")
+    )
+    posts = src.filter(
+        (F.col("rec") == "item")
+        & (F.col("type") == "post")
+        & F.col("creation_time").isNotNull()
+    )
+    return (
+        posts.withWatermark("creation_time", "2 hours")
+        .groupBy(F.window("creation_time", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_posts"))
+        .select(F.col("w.start").alias("hour"), "n_posts")
+    )
+
+
+_SESSION_OUT = "user_id LONG, n_sessions LONG, n_events LONG"
+_SESSION_STATE = "last_ts DOUBLE, n_sessions LONG, n_events LONG"
+
+
+def _sessionize_group(key, pdf_iter, state: GroupState):
+    """Per-user session counter: a new session starts when the gap since
+    the previous event exceeds SESSION_GAP_MIN (same rule as the batch
+    operator). State carries (last event time, session count, event count)
+    across micro-batches."""
+    if state.exists:
+        last_ts, n_sessions, n_events = state.get
+    else:
+        last_ts, n_sessions, n_events = None, 0, 0
+    gap = SESSION_GAP_MIN * 60
+    for pdf in pdf_iter:
+        for ts in sorted(pdf["ts_sec"]):
+            if last_ts is None or ts - last_ts > gap:
+                n_sessions += 1
+            last_ts = float(ts)
+            n_events += 1
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+    )
+
+
+def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming sessionization over the events table with
+    ``applyInPandasWithState`` (update mode: each micro-batch emits the
+    current per-user totals; the final batch's rows equal the batch
+    operator's output).
+
+    Caveat (documented, inherent to per-batch streaming): events must
+    arrive in per-user timestamp order ACROSS micro-batches for the gap
+    rule to be exact — within a batch they are sorted here. AvailableNow
+    over a single input file satisfies this; a production deployment would
+    watermark + buffer out-of-order events before the stateful stage."""
+    import os
+
+    # the file-stream source needs a DIRECTORY; point it at the parent with
+    # a glob filter so a single-file table works too
+    base, name = os.path.dirname(events_path), os.path.basename(events_path)
+    src = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+            " value DOUBLE, props STRING"
+        )
+        .option("pathGlobFilter", name)
+        .parquet(base)
+    )
+    ev = src.select(
+        "user_id", F.unix_timestamp("ts").cast("double").alias("ts_sec")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the stream with AvailableNow into a memory sink; return the
+    result table (deterministic: processes all existing input, then stops).
+    In update mode the memory sink accumulates every batch's emissions —
+    callers take the last row per key (the emitted totals are monotone)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
