@@ -12,7 +12,7 @@ Two parts:
    scaling already caps 8->32-core speedup at ~2.3x (measured, see
    BENCH/BASELINE.md), so 2->8 is the honest N->4N proxy.
 
-Results also land in BENCH/BASELINE.md.
+Results also land in BENCH/RESULTS.md.
 """
 
 from __future__ import annotations
