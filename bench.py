@@ -56,7 +56,8 @@ BENCH_QUERIES = [
 ]
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "150000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2"))
-BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+WARMUP_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
 CALIB_PAGES = int(os.environ.get("SPARK_GRAFT_CALIB_PAGES", "30000"))
 
 
@@ -113,6 +114,16 @@ def run_crawl_scaling() -> dict:
 
     runs: dict[int, list[dict]] = {SCALE_N: [], SCALE_N * 4: []}
     pair_eff: list[float] = []
+    # warmup pair(s): the first pair after a cold start pays JVM JIT + OS
+    # page-cache warmup and historically lands ~0.03 below the rest — run
+    # it, print it, but do NOT record it in the gate statistics
+    for w in range(WARMUP_PAIRS):
+        wl = _sub(["--cores", str(SCALE_N), "--pages", str(CRAWL_PAGES)])
+        wh = _sub(["--cores", str(SCALE_N * 4), "--pages", str(CRAWL_PAGES)])
+        print(f"  crawl warmup pair (unrecorded): {wl['pages_per_sec']} -> "
+              f"{wh['pages_per_sec']} pages/s, eff "
+              f"{wh['pages_per_sec'] / wl['pages_per_sec'] / 4:.3f}",
+              file=sys.stderr)
     for _ in range(BENCH_REPS):
         lo = _sub(["--cores", str(SCALE_N), "--pages", str(CRAWL_PAGES)])
         hi = _sub(["--cores", str(SCALE_N * 4), "--pages", str(CRAWL_PAGES)])
@@ -122,9 +133,10 @@ def run_crawl_scaling() -> dict:
         print(f"  crawl pair: {lo['pages_per_sec']} -> {hi['pages_per_sec']} "
               f"pages/s, eff {pair_eff[-1]:.3f}", file=sys.stderr)
 
+    cal_reps = min(BENCH_REPS, 3)  # calibration is context, not the gate
     cal_runs = {
         c: [_sub(["--cores", str(c), "--pages", str(CALIB_PAGES), "--calibrate"])
-            for _ in range(BENCH_REPS)]
+            for _ in range(cal_reps)]
         for c in (SCALE_N, SCALE_N * 4)
     }
     med = {c: _median([r["pages_per_sec"] for r in rs]) for c, rs in runs.items()}
@@ -153,7 +165,14 @@ def run_crawl_scaling() -> dict:
         # bandwidth ceiling for N->4N (real clusters add bandwidth per node)
         "hw_ceiling_speedup": round(hw_speedup, 2),
         "hw_ceiling_pages_per_sec": {str(c): cal_med[c] for c in cal_med},
+        # both normalizations emitted (round-2 advice): the clamp stops a
+        # SUB-linear hw ceiling from inflating the number, but when the
+        # calibration measures super-linear speedup (turbo variance) the
+        # clamped figure is the HIGHER one — report raw alongside so the
+        # reviewer sees both; the gate number stays scaling_efficiency.
         "normalized_efficiency": round(4 * eff / hw_clamped, 3),
+        "normalized_efficiency_unclamped": round(4 * eff / hw_speedup, 3),
+        "warmup_pairs": WARMUP_PAIRS,
         "items": hi_m.get("items", lo_m.get("items")),
     }
 

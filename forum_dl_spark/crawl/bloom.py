@@ -123,6 +123,7 @@ class BloomState:
         pdf = seen_delta.select(
             F.col("shard"), F.xxhash64(F.col("seen_key")).alias("h")
         ).toPandas()
+        added = 0
         for s, grp in pdf.groupby("shard"):
             raw = self.blooms.get(int(s))
             bits = (
@@ -131,10 +132,18 @@ class BloomState:
                 if raw is not None
                 else np.zeros(self.n_bits, dtype=bool)
             )
-            for pos in _positions(grp["h"].to_numpy(), self.n_bits):
+            positions = _positions(grp["h"].to_numpy(), self.n_bits)
+            # count only keys whose bits were NOT already all set — re-added
+            # keys (cache hits, evicted probes reappearing in deltas) must
+            # not inflate the capacity estimate into premature full rebuilds
+            already = np.ones(len(grp), dtype=bool)
+            for pos in positions:
+                already &= bits[pos]
+            added += int((~already).sum())
+            for pos in positions:
                 bits[pos] = True
             self.blooms[int(s)] = np.packbits(bits).tobytes()
-        self.keys += len(pdf)
+        self.keys += added
 
 
 def expected_fp_rate(n_keys: int, n_bits: int) -> float:

@@ -744,14 +744,18 @@ def _loop(
             definitely_new, maybe = split_candidates(
                 candidates, bloom_state.blooms, bloom_state.n_bits
             )
+            # left-anti is insensitive to duplicate keys on its right side,
+            # so seen_all/pending go in raw: a .distinct() here would add a
+            # full wide aggregation over the seen relation EVERY superstep
+            # (at 10^10 seen keys, a needless extra shuffle per wave)
             gated = definitely_new.unionByName(
-                maybe.join(seen_all.distinct(), on="seen_key", how="left_anti")
+                maybe.join(seen_all, on="seen_key", how="left_anti")
             )
         else:
-            gated = candidates.join(seen_all.distinct(), on="seen_key", how="left_anti")
+            gated = candidates.join(seen_all, on="seen_key", how="left_anti")
         pending = remaining.select("seen_key").union(retries_df.select("seen_key"))
         new_frontier_rows = gated.join(
-            pending.distinct(), on="seen_key", how="left_anti"
+            pending, on="seen_key", how="left_anti"
         ).unionByName(cached_rows)
 
         next_frontier = remaining.unionByName(retries_df).unionByName(new_frontier_rows)

@@ -45,19 +45,20 @@ def _pointer_jump(labels: DataFrame) -> DataFrame:
         parent = labels.select(
             F.col("doc_id").alias("p_doc"), F.col("cluster_id").alias("p_lbl")
         )
+        # the changed flag rides along INSIDE the jump join, so convergence
+        # costs one count over the already-checkpointed frame instead of a
+        # second join per round (round-2 verdict item)
         jumped = (
             labels.join(parent, labels.cluster_id == parent.p_doc)
-            .select("doc_id", F.col("p_lbl").alias("cluster_id"))
+            .select(
+                "doc_id",
+                F.col("p_lbl").alias("cluster_id"),
+                (F.col("p_lbl") != labels.cluster_id).alias("_changed"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            jumped.join(
-                labels.withColumnRenamed("cluster_id", "_old"), "doc_id"
-            )
-            .filter(F.col("cluster_id") != F.col("_old"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter("_changed").count()
+        labels = jumped.drop("_changed")
         if changed == 0:
             return labels
     raise RuntimeError(f"pointer jumping did not converge in {MAX_CC_ITERS} rounds")
@@ -101,18 +102,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster_id"),
                     F.coalesce(F.col("n_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                (
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("n_min"), F.col("cluster_id")),
+                    )
+                    != F.col("cluster_id")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("cluster_id", "_old"), "doc_id")
-            .filter(F.col("cluster_id") != F.col("_old"))
-            .count()
-        )
+        changed = new.filter("_changed").count()
         if changed == 0:
             return labels
         # B: collapse the new parent forest to roots (label-only joins)
-        labels = _pointer_jump(new)
+        labels = _pointer_jump(new.drop("_changed"))
     raise RuntimeError(f"label propagation did not converge in {MAX_CC_ITERS} rounds")
 
 
