@@ -44,14 +44,38 @@ def build_parser() -> argparse.ArgumentParser:
     session.add_argument("--user-agent", default=None)
 
     output = p.add_argument_group("Output Options")
+    output.add_argument("-g", "--get-urls", action="store_true",
+                        help="Print fetched URLs instead of writing output "
+                             "(reference options.py:97-103)")
     output.add_argument("-o", "--output", default=None,
-                        help="Output path (default: quote_plus(URL))")
+                        help="Output path; '-' writes jsonl to stdout "
+                             "(default: quote_plus(URL))")
     output.add_argument("-f", "--output-format", default="jsonl",
                         choices=OUTPUT_FORMATS)
     output.add_argument("--files-output", default="",
                         help="Also materialize embedded files into DIR")
     output.add_argument("--warc-output", default="",
-                        help="Also record fetches into DIR as WARC/1.0")
+                        help="Also record fetches into DIR as WARC/1.0 "
+                             "(per-seed subdirectories on multi-URL runs)")
+    # item-class gating quartet (reference options.py:134-167; enforcement
+    # writers/common.py:101-145)
+    output.add_argument("--boards", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="Write board objects (--no-boards to negate)")
+    output.add_argument("--threads", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="Write thread objects (--no-threads to negate)")
+    output.add_argument("--posts", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="Write post objects (--no-posts to negate)")
+    output.add_argument("--files", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="Write embedded files (--no-files to negate)")
+    output.add_argument("--outside-files", default=False,
+                        action=argparse.BooleanOptionalAction,
+                        help="Write embedded files outside post content; "
+                             "auto-enabled by --warc-output and -f warc "
+                             "(reference __init__.py:31-32)")
     output.add_argument("--textify", action="store_true")
     output.add_argument("--content-as-title", action="store_true")
     output.add_argument("--author-as-addr-spec", action="store_true")
@@ -65,23 +89,66 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _export(res, url: str, args, spark) -> str:
+def _gate_items(items, args, write_outside: bool):
+    """Item-class gating: the reference's write_*_objects checks
+    (writers/common.py:101-103, 126-127, 135-145). A file item with an
+    empty ``path`` sits outside any post's content and is written only
+    under --outside-files (common.py:135-137)."""
+    from pyspark.sql import functions as F
+
+    keep = F.lit(False)
+    for flag, typ in ((args.boards, "board"), (args.threads, "thread"),
+                      (args.posts, "post")):
+        if flag:
+            keep = keep | (F.col("type") == typ)
+    if args.files:
+        in_post = F.size(F.coalesce(F.col("path"), F.array())) > 0
+        keep = keep | (
+            (F.col("type") == "file")
+            & (in_post if not write_outside else F.lit(True))
+        )
+    return items.filter(keep)
+
+
+def _export(res, url: str, args, spark, seed_suffix: str = "") -> str:
     from .export.files import export_files
-    from .export.jsonl import export_jsonl
+    from .export.jsonl import export_jsonl, items_to_entries
     from .export.mail import build_messages, export_mailbox
     from .export.warc import export_warc
 
     out = args.output or quote_plus(url)  # forumdl.py:44
     fmt = args.output_format
-    if fmt == "jsonl":
-        export_jsonl(res.items(), res.engine, out)
+    if seed_suffix and args.output and out != "-":
+        out = f"{out.rstrip('/')}/{seed_suffix}"
+    # -f warc writes fetch records to -o; either WARC sink force-enables
+    # outside files (reference __init__.py:31-32)
+    warc_out = out if fmt == "warc" else args.warc_output
+    write_outside = args.outside_files or bool(warc_out)
+    items = _gate_items(res.items(), args, write_outside)
+    if out == "-":
+        if fmt != "jsonl":
+            raise SystemExit(
+                f"-o - (stdout) supports only -f jsonl, not {fmt!r}"
+            )
+        # stdout is a single driver-side stream by nature: iterate the
+        # ordered entries without materializing them all (FileWriter's
+        # stdout branch, writers/common.py:217-235)
+        for row in (
+            items_to_entries(items, res.engine)
+            .orderBy("ord")
+            .select("line")
+            .toLocalIterator()
+        ):
+            sys.stdout.write(row["line"] + "\n")
+    elif fmt == "jsonl":
+        export_jsonl(items, res.engine, out)
     elif fmt == "parquet":
-        res.items().write.mode("overwrite").parquet(out)
+        items.write.mode("overwrite").parquet(out)
     elif fmt == "warc":
         export_warc(res.pages(), out)
     else:
         msgs = build_messages(
-            res.items(),
+            items,
             urlparse(url).netloc,
             textify=args.textify,
             content_as_title=args.content_as_title,
@@ -90,9 +157,14 @@ def _export(res, url: str, args, spark) -> str:
         )
         export_mailbox(msgs, out, fmt=fmt)
     if args.files_output:
-        export_files(res.items(), args.files_output)
+        export_files(items, args.files_output)
     if args.warc_output:
-        export_warc(res.pages(), args.warc_output)
+        # per-seed subdirectory: multi-URL runs must not clobber earlier
+        # seeds' records (part files carry fixed names)
+        wout = args.warc_output
+        if seed_suffix:
+            wout = f"{wout.rstrip('/')}/{seed_suffix}"
+        export_warc(res.pages(), wout)
     return out
 
 
@@ -126,7 +198,26 @@ def download(urls: list[str], args, server=None, spark=None) -> list[str]:
             # (forumdl.py:40: `if extractor:`); we at least say so
             print(f"{url}: {e}", file=sys.stderr)
             continue
-        written.append(_export(res, url, args, spark))
+        if getattr(args, "get_urls", False):
+            # -g/--get-urls: print the fetch trace instead of writing output
+            # (reference session.py:163-166 prints each URL pre-GET and
+            # installs a SimulatedWriter, writers/__init__.py:22-23). The
+            # BSP equivalent is the ord-sorted pages trace — one line per
+            # fetch attempt, probes and retries included.
+            for row in (
+                res.pages().orderBy("ord", "attempt").select("url")
+                .toLocalIterator()
+            ):
+                print(row["url"])
+            written.append("-")
+            continue
+        # default output (quote_plus(url)) is already per-seed unique; an
+        # explicit -o or --warc-output on a multi-URL run gets a per-seed
+        # subdirectory so later seeds never clobber earlier ones
+        suffix = quote_plus(url) if len(urls) > 1 else ""
+        if not args.output and not args.warc_output:
+            suffix = ""
+        written.append(_export(res, url, args, spark, seed_suffix=suffix))
     return written
 
 
@@ -144,6 +235,8 @@ def main(argv: list[str] | None = None) -> int:
         print("no URLs given (see --help)", file=sys.stderr)
         return 2
     written = download(args.urls, args)
-    for w in written:
-        print(w)
+    if not args.get_urls:
+        for w in written:
+            if w != "-":
+                print(w)
     return 0 if written else 1

@@ -136,6 +136,131 @@ def test_cli_jsonl_end_to_end(spark, http_base, tmp_path, capsys):
     assert {e["type"] for e in lines} >= {"board", "thread", "post"}
 
 
+def test_cli_item_class_gating(spark, http_base, tmp_path):
+    """--no-files / --no-boards drop exactly those entry classes from the
+    jsonl export (reference BooleanOptionalAction quartet,
+    options.py:134-167; enforcement writers/common.py:101-145)."""
+    from forum_dl_spark.cli import build_parser, download
+
+    out_all = str(tmp_path / "all.jsonl")
+    out_gated = str(tmp_path / "gated.jsonl")
+    base = [http_base, "-f", "jsonl", "--workdir", str(tmp_path / "wd")]
+    download([http_base], build_parser().parse_args(base + ["-o", out_all]),
+             spark=spark)
+    download(
+        [http_base],
+        build_parser().parse_args(
+            base + ["-o", out_gated, "--no-files", "--no-boards"]
+        ),
+        spark=spark,
+    )
+    all_e = [json.loads(l) for l in _read_spark_text(spark, out_all)]
+    gated = [json.loads(l) for l in _read_spark_text(spark, out_gated)]
+    assert {e["type"] for e in all_e} == {"board", "thread", "post", "file"}
+    assert {e["type"] for e in gated} == {"thread", "post"}
+    # gating only filters: surviving entries are unchanged and in order
+    kept = [e for e in all_e if e["type"] in ("thread", "post")]
+    assert gated == kept
+
+
+def test_cli_outside_files_gating(spark):
+    """A file item with an empty path sits outside any post's content and
+    is written only under --outside-files (writers/common.py:135-137);
+    --warc-output force-enables it (__init__.py:31-32)."""
+    from forum_dl_spark.cli import _gate_items, build_parser
+
+    rows = [
+        ("file", [], "https://x/img.png"),
+        ("file", ["1", "2"], "https://x/att.png"),
+        ("post", ["1", "2"], "https://x/t"),
+    ]
+    df = spark.createDataFrame(rows, "type string, path array<string>, url string")
+    args = build_parser().parse_args(["https://x/"])
+    got = lambda a, outside: {
+        r["url"] for r in _gate_items(df, a, outside).collect()
+    }
+    assert got(args, False) == {"https://x/att.png", "https://x/t"}
+    assert got(args, True) == {
+        "https://x/img.png", "https://x/att.png", "https://x/t"
+    }
+    args2 = build_parser().parse_args(["https://x/", "--no-files"])
+    assert got(args2, True) == {"https://x/t"}
+
+
+def test_cli_get_urls_trace(spark, fixture_server, http_base, tmp_path, capsys):
+    """-g prints exactly the ord-sorted fetch trace — the URLs an
+    uninterrupted crawl GETs, in crawl order (session.py:163-166) — and
+    writes no output."""
+    from forum_dl_spark.cli import build_parser, download
+
+    args = build_parser().parse_args(
+        [http_base, "-g", "--workdir", str(tmp_path / "wd")]
+    )
+    written = download(args.urls, args, spark=spark)
+    printed = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert written == ["-"]
+    ref = run_crawl(
+        spark, _HostRemap(fixture_server, http_base), http_base,
+        str(tmp_path / "ref"), CrawlConfig(),
+    )
+    expect = [r["url"]
+              for r in ref.pages().orderBy("ord", "attempt").collect()]
+    assert printed == expect
+    assert not list(tmp_path.glob("*.jsonl"))  # no export written in -g mode
+
+
+def test_cli_stdout_output(spark, http_base, tmp_path, capsys):
+    """-o - streams the ordered jsonl entries to stdout, byte-equal to the
+    file export (FileWriter stdout branch, writers/common.py:217-235)."""
+    from forum_dl_spark.cli import build_parser, download
+
+    out = str(tmp_path / "file.jsonl")
+    base = [http_base, "-f", "jsonl", "--workdir", str(tmp_path / "wd")]
+    download([http_base], build_parser().parse_args(base + ["-o", out]),
+             spark=spark)
+    capsys.readouterr()
+    download([http_base], build_parser().parse_args(base + ["-o", "-"]),
+             spark=spark)
+    stdout_lines = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert stdout_lines == _read_spark_text(spark, out)
+    with pytest.raises(SystemExit):
+        download([http_base],
+                 build_parser().parse_args(base + ["-o", "-", "-f", "mbox"]),
+                 spark=spark)
+
+
+def test_cli_multiseed_warc_no_clobber(spark, http_base, tmp_path):
+    """Two seeds with --warc-output land in per-seed subdirectories — the
+    second crawl must not overwrite the first's fixed-name part files."""
+    from urllib.parse import quote_plus
+
+    from forum_dl_spark.cli import build_parser, download
+    from forum_dl_spark.export.warc import read_warc
+
+    u1 = http_base
+    u2 = http_base.rstrip("/")  # same forum, distinct seed string
+    wdir = tmp_path / "warcs"
+    args = build_parser().parse_args(
+        [u1, u2, "-f", "jsonl", "-o", str(tmp_path / "out"),
+         "--workdir", str(tmp_path / "wd"), "--warc-output", str(wdir)]
+    )
+    download(args.urls, args, spark=spark)
+    d1, d2 = wdir / quote_plus(u1), wdir / quote_plus(u2)
+    assert d1.is_dir() and d2.is_dir()
+
+    def responses(d):
+        recs = []
+        for p in sorted(d.glob("*.warc")):
+            recs += [r for r in read_warc(str(p))
+                     if r.get("WARC-Type") == "response"]
+        return recs
+
+    # both seeds' records survive — the old fixed-name part files would
+    # have left only the LAST seed's fetches on disk
+    recs1, recs2 = responses(d1), responses(d2)
+    assert recs1 and recs2
+
+
 def test_cli_lists(capsys):
     from forum_dl_spark.cli import main
 
