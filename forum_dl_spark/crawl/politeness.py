@@ -76,18 +76,78 @@ def budgeted_pop(frontier: DataFrame, host_budgets: DataFrame | None,
     return popped, remaining
 
 
+def _parse_robots_groups(text: str) -> list[tuple[list[str], list[str], float | None]]:
+    """robots.txt → [(agent_tokens, disallow_prefixes, crawl_delay)] groups.
+    Consecutive User-agent lines share one rule group (RFC 9309 §2.1)."""
+    groups: list[tuple[list[str], list[str], float | None]] = []
+    agents: list[str] = []
+    rules: list[str] = []
+    delay: float | None = None
+    in_ua_block = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_ua_block and agents:
+                groups.append((agents, rules, delay))
+                agents, rules, delay = [], [], None
+            agents.append(val.lower())
+            in_ua_block = True
+        else:
+            in_ua_block = False
+            if key == "disallow" and val:
+                rules.append(val)
+            elif key == "crawl-delay":
+                try:
+                    delay = float(val)
+                except ValueError:
+                    pass
+    if agents:
+        groups.append((agents, rules, delay))
+    return groups
+
+
+def _matching_group(
+    groups: list[tuple[list[str], list[str], float | None]], user_agent: str
+) -> tuple[list[str], float | None] | None:
+    """First group naming this agent specifically, else the first ``*``
+    group — ``urllib.robotparser`` precedence. Agent matching is
+    robotparser's: the robots token (lowercased) must be a substring of the
+    UA's PRODUCT token (the part before '/'), so 'Forum-dl 0.3.0 (spark)'
+    matches 'forum-dl' but a group for 'other-bot' never applies
+    (RobotFileParser.Entry.applies_to)."""
+    ua_tok = user_agent.split("/")[0].lower()
+    star = None
+    for agents, rules, delay in groups:
+        for a in agents:
+            if a == "*":
+                if star is None:
+                    star = (rules, delay)
+            elif a in ua_tok:
+                return (rules, delay)
+    return star
+
+
 def fetch_robots(server: object, hosts: list[str], scheme: str = "https",
                  user_agent: str = "*") -> list[dict]:
     """Fetch and parse /robots.txt per host into ``host_budgets`` rows.
 
     Driver-side, one fetch per distinct host (hosts are few relative to
     URLs; at 10^10-frontier scale this list is still only the distinct-host
-    dimension, and the result is a broadcast table). Parsing follows the
-    common-case prefix semantics of ``urllib.robotparser``: Disallow lines
-    from the ``User-agent: *`` group (or the matching agent group), with
-    ``Crawl-delay`` mapped onto ``max_fetches_per_superstep`` when present
-    (one fetch per delay window per superstep is the BSP equivalent of the
-    reference-less sequential sleep).
+    dimension, and the result is a broadcast table). Group selection and
+    agent matching follow ``urllib.robotparser`` (see ``_matching_group``);
+    the configured crawl User-Agent is threaded in by ``run_crawl``.
+
+    ``Crawl-delay`` is carried through as ``crawl_delay`` seconds; the
+    superstep loop enforces it by ADAPTIVE budgeting — next wave's budget
+    for the host is max(1, floor(measured_wave_wall / delay)) — plus an
+    inter-wave sleep when a wave finished faster than its fetch count
+    times the delay. Supersteps on small hosts finish in well under a
+    second, so a fixed fetches-per-wave quota derived from an assumed wave
+    length would overshoot the requested rate by orders of magnitude.
 
     A missing or failing robots.txt means no restrictions for that host —
     the de-facto web convention.
@@ -101,32 +161,43 @@ def fetch_robots(server: object, hosts: list[str], scheme: str = "https",
             continue
         if status >= 400:
             continue
-        disallow: list[str] = []
-        delay: float | None = None
-        applies = False
-        for raw in body.decode("utf-8", "replace").splitlines():
-            line = raw.split("#", 1)[0].strip()
-            if not line or ":" not in line:
-                continue
-            key, _, val = line.partition(":")
-            key, val = key.strip().lower(), val.strip()
-            if key == "user-agent":
-                applies = val == "*" or val.lower() in user_agent.lower()
-            elif applies and key == "disallow" and val:
-                disallow.append(val)
-            elif applies and key == "crawl-delay":
-                try:
-                    delay = float(val)
-                except ValueError:
-                    pass
+        groups = _parse_robots_groups(body.decode("utf-8", "replace"))
+        match = _matching_group(groups, user_agent)
+        if match is None:
+            continue
+        disallow, delay = match
         if disallow or delay:
             out.append(
                 {
                     "host": host,
-                    "max_fetches_per_superstep": max(1, int(60 / delay))
-                    if delay
-                    else 2**31 - 1,
+                    # no explicit cap — the delay budget is computed per
+                    # wave from the measured wall (see effective_budgets)
+                    "max_fetches_per_superstep": 2**31 - 1,
                     "robots_disallow": disallow,
+                    "crawl_delay": float(delay) if delay else 0.0,
                 }
             )
+    return out
+
+
+def effective_budgets(host_budgets: list[dict], prev_wall: float | None) -> list[dict]:
+    """Normalize host_budgets rows (fill optional fields) and scale
+    crawl-delay hosts' per-wave budget by the measured wave wall: a host
+    asking for one fetch per ``delay`` seconds gets floor(wall/delay)
+    fetches out of a wave that takes ``wall`` seconds (min 1 — the wave
+    plus the inter-wave sleep in the loop then paces the remainder)."""
+    out = []
+    for hb in host_budgets:
+        delay = float(hb.get("crawl_delay") or 0.0)
+        budget = int(hb.get("max_fetches_per_superstep", 2**31 - 1))
+        if delay > 0:
+            budget = min(budget, max(1, int((prev_wall or 0.0) / delay)))
+        out.append(
+            {
+                "host": hb["host"],
+                "max_fetches_per_superstep": budget,
+                "robots_disallow": list(hb.get("robots_disallow") or ()),
+                "crawl_delay": delay,
+            }
+        )
     return out

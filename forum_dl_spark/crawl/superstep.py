@@ -428,7 +428,14 @@ def run_crawl(
         explicit = {hb["host"] for hb in config.host_budgets or ()}
         fetched_rules = [
             hb
-            for hb in _fetch_robots(server, [u.netloc], scheme=u.scheme or "https")
+            for hb in _fetch_robots(
+                server,
+                [u.netloc],
+                scheme=u.scheme or "https",
+                # the agent the fetches actually present — so robots groups
+                # targeting this crawler (not just '*') apply
+                user_agent=getattr(server, "user_agent", "*") or "*",
+            )
             if hb["host"] not in explicit
         ]
         if fetched_rules:
@@ -633,6 +640,14 @@ def _loop(
     step = start_step
     bloom_state = None
     prev_frontier_size = None
+    # crawl-delay pacing state: measured wall of the previous wave (incl.
+    # any politeness sleep) scales the next wave's per-host delay budgets
+    prev_wall: float | None = None
+    delay_hosts = {
+        hb["host"]: float(hb["crawl_delay"])
+        for hb in config.host_budgets or ()
+        if hb.get("crawl_delay")
+    }
     seen_total = _read_seen_sofar(spark, wd, start_step).count()
     frontier = spark.read.parquet(str(wd / "steps" / f"{start_step - 1:05d}" / "frontier"))
 
@@ -645,8 +660,11 @@ def _loop(
 
         budgets_df = None
         if config.host_budgets:
+            from .politeness import effective_budgets
+
             budgets_df = spark.createDataFrame(
-                pd.DataFrame(config.host_budgets), schemas.HOST_BUDGETS
+                pd.DataFrame(effective_budgets(config.host_budgets, prev_wall)),
+                schemas.HOST_BUDGETS,
             )
         popped, remaining = budgeted_pop(frontier, budgets_df, config.host_budget)
 
@@ -796,6 +814,29 @@ def _loop(
         seen_total = metrics["seen_size"]
         (step_dir / "metrics.json").write_text(json.dumps(metrics))
         (step_dir / "_COMPLETE").write_text("ok")
+        # crawl-delay enforcement: a host that asked for one fetch per D
+        # seconds and got k fetches this wave must not see the next wave
+        # start before k*D has elapsed — sleep out the remainder when the
+        # wave finished faster (waves on small hosts run well under 1 s)
+        if delay_hosts:
+            fetched_per_host = {
+                r["h"]: r["cnt"]
+                for r in parsed.filter(F.col("rec").isin("page", "pfail"))
+                .groupBy(F.parse_url(F.col("p_url"), F.lit("HOST")).alias("h"))
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+            wall = time.time() - t0
+            owe = max(
+                (
+                    d * fetched_per_host.get(h, 0) - wall
+                    for h, d in delay_hosts.items()
+                ),
+                default=0.0,
+            )
+            if owe > 0:
+                time.sleep(owe)
+        prev_wall = time.time() - t0
         # spin-guard: nothing parsed (not even a cached-row consume shrank
         # the frontier) while rows remain — e.g. a zero budget would
         # otherwise write empty step dirs until max_supersteps

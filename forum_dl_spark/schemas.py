@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     MapType,
@@ -119,6 +120,9 @@ HOST_BUDGETS = StructType(
         StructField("host", StringType(), False),
         StructField("max_fetches_per_superstep", IntegerType(), False),
         StructField("robots_disallow", ArrayType(StringType()), True),
+        # seconds between fetches requested by robots Crawl-delay; enforced
+        # by adaptive per-wave budgets + inter-wave sleep (politeness.py)
+        StructField("crawl_delay", DoubleType(), True),
     ]
 )
 

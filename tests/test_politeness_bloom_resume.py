@@ -261,6 +261,68 @@ def test_fetch_robots_parser():
     rows = fetch_robots(_Srv(), ["h.example", "h.example"])
     assert rows == [{
         "host": "h.example",
-        "max_fetches_per_superstep": 6,  # 60 / crawl-delay 10
+        "max_fetches_per_superstep": 2**31 - 1,  # paced by crawl_delay
         "robots_disallow": ["/a/", "/b/"],
+        "crawl_delay": 10.0,
     }]
+
+
+def test_fetch_robots_agent_groups():
+    """Group selection + agent matching follow urllib.robotparser: a group
+    naming this crawler wins over '*'; the robots token must be a substring
+    of the UA PRODUCT token (before '/'), so 'other-bot' never over-matches;
+    consecutive User-agent lines share one rule group."""
+    from forum_dl_spark.crawl.politeness import fetch_robots
+
+    body = (
+        b"User-agent: other-bot\nDisallow: /all/\n\n"
+        b"User-agent: GoodBot\nUser-agent: forum-dl\nDisallow: /mine/\n"
+        b"Crawl-delay: 2\n\n"
+        b"User-agent: *\nDisallow: /star/\n"
+    )
+
+    class _Srv:
+        def get(self, url, params=None, attempt=0):
+            return 200, "text/plain", body
+
+    named = fetch_robots(_Srv(), ["h"], user_agent="Forum-dl/0.3.0 (spark)")
+    assert named[0]["robots_disallow"] == ["/mine/"]
+    assert named[0]["crawl_delay"] == 2.0
+    star = fetch_robots(_Srv(), ["h"], user_agent="SomethingElse/1.0")
+    assert star[0]["robots_disallow"] == ["/star/"]
+    assert star[0]["crawl_delay"] == 0.0
+
+
+def test_effective_budgets_scaling():
+    """Crawl-delay hosts get floor(measured_wall / delay) fetches per wave
+    (min 1), capped by any explicit max_fetches_per_superstep."""
+    from forum_dl_spark.crawl.politeness import effective_budgets
+
+    hb = [{"host": "h", "max_fetches_per_superstep": 2**31 - 1,
+           "robots_disallow": [], "crawl_delay": 10.0}]
+    assert effective_budgets(hb, None)[0]["max_fetches_per_superstep"] == 1
+    assert effective_budgets(hb, 35.0)[0]["max_fetches_per_superstep"] == 3
+    capped = [{**hb[0], "max_fetches_per_superstep": 2}]
+    assert effective_budgets(capped, 99.0)[0]["max_fetches_per_superstep"] == 2
+    plain = [{"host": "h"}]  # defaults filled
+    row = effective_budgets(plain, 1.0)[0]
+    assert row["max_fetches_per_superstep"] == 2**31 - 1
+    assert row["robots_disallow"] == [] and row["crawl_delay"] == 0.0
+
+
+def test_crawl_delay_paces_waves(spark, server, baseline, tmp_path):
+    """With Crawl-delay D, a host fetched k times in a wave must not see
+    the next wave before k*D elapsed — so total wall >= D * fetches; the
+    final tables stay bit-identical (pacing is scheduling, not data)."""
+    import time as _time
+
+    delay = 0.2
+    cfg = CrawlConfig(host_budgets=[{
+        "host": "forum.example", "robots_disallow": [], "crawl_delay": delay,
+    }])
+    t0 = _time.time()
+    res = run_crawl(spark, server, SEED_URL, str(tmp_path / "paced"), cfg)
+    elapsed = _time.time() - t0
+    fetched = res.pages().filter("kind != 'probe'").count()
+    assert elapsed >= delay * fetched - 0.1
+    assert _tables(res) == _tables(baseline)
