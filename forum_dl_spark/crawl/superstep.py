@@ -238,6 +238,17 @@ class CrawlResult:
         return out
 
 
+def _anti_join_gate(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Drop left rows whose seen_key appears in ``right``.
+
+    A left-anti join is insensitive to duplicate keys on its right side, so
+    the seen/pending relations go in RAW — a ``.distinct()`` here would add
+    a full wide aggregation over the seen relation EVERY superstep (at
+    10^10 seen keys, a needless extra shuffle per wave). Pinned by
+    tests/test_plans.py::test_seen_anti_join_no_aggregate."""
+    return left.join(right.select("seen_key"), on="seen_key", how="left_anti")
+
+
 def _with_derived(df: DataFrame, shards: int = schemas.N_SHARDS_DEFAULT) -> DataFrame:
     """seen_key / host / shard derivation — JVM-side column expressions."""
     seen_key = F.when(F.col("params") == "", F.col("url")).otherwise(
@@ -762,19 +773,13 @@ def _loop(
             definitely_new, maybe = split_candidates(
                 candidates, bloom_state.blooms, bloom_state.n_bits
             )
-            # left-anti is insensitive to duplicate keys on its right side,
-            # so seen_all/pending go in raw: a .distinct() here would add a
-            # full wide aggregation over the seen relation EVERY superstep
-            # (at 10^10 seen keys, a needless extra shuffle per wave)
             gated = definitely_new.unionByName(
-                maybe.join(seen_all, on="seen_key", how="left_anti")
+                _anti_join_gate(maybe, seen_all)
             )
         else:
-            gated = candidates.join(seen_all, on="seen_key", how="left_anti")
+            gated = _anti_join_gate(candidates, seen_all)
         pending = remaining.select("seen_key").union(retries_df.select("seen_key"))
-        new_frontier_rows = gated.join(
-            pending, on="seen_key", how="left_anti"
-        ).unionByName(cached_rows)
+        new_frontier_rows = _anti_join_gate(gated, pending).unionByName(cached_rows)
 
         next_frontier = remaining.unionByName(retries_df).unionByName(new_frontier_rows)
 

@@ -64,30 +64,111 @@ def _pointer_jump(labels: DataFrame) -> DataFrame:
     raise RuntimeError(f"pointer jumping did not converge in {MAX_CC_ITERS} rounds")
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id): connected components of the MinHash-LSH pair
-    graph; cluster_id = min doc_id in the component (singletons keep
-    themselves). The canonical keep-one-per-cluster rule is then
-    ``keep = (doc_id == cluster_id)``.
+def _cc_plain(sym: DataFrame, labels: DataFrame) -> tuple[DataFrame, int]:
+    """Textbook min-label propagation: O(component diameter) edge joins.
+    Kept as the baseline the smarter variants are measured against —
+    hence the wider round bound (diameter can exceed MAX_CC_ITERS on the
+    planted-chain fixtures the others are benchmarked on)."""
+    for rounds in range(1, 8 * MAX_CC_ITERS + 1):
+        neigh = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("n_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                (
+                    F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter("_changed").count()
+        labels = new.drop("_changed")
+        if changed == 0:
+            return labels, rounds
+    raise RuntimeError(f"plain propagation did not converge in {MAX_CC_ITERS} rounds")
 
-    Alternating min-neighbor + pointer-jumping rounds: plain propagation
-    needs O(diameter) edge joins (24 on the sf0.01 graph — LSH chains run
-    long); pointer jumping contracts each round's parent forest in
-    O(log depth) label-only joins, so the edge relation is touched only
-    O(log n) times. ``localCheckpoint`` truncates the iterative lineage so
-    plans stay flat."""
-    edges = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint()
-    labels = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint()
+
+def _cc_star(sym: DataFrame, labels: DataFrame) -> tuple[DataFrame, int]:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): O(log n) rounds even on
+    adversarial long chains, touching only the edge relation (no global
+    sort, no driver-side state).
+
+    large-star: every node connects its STRICTLY LARGER neighbors to the
+    minimum of its closed neighborhood; small-star: every node connects its
+    smaller-or-equal neighbors (and itself) to that minimum. Each pair of
+    steps at least halves tree heights; the fixpoint is a star forest whose
+    centers are component minima."""
+    # parent edges (child, parent), child >= parent not yet guaranteed
+    edges = sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    for rounds in range(1, MAX_CC_ITERS + 1):
+        # --- large-star ---
+        nbr = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbr.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            nbr.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star (on canonicalized (hi, lo) parent pointers) ---
+        canon = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = canon.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            canon.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when the edge relation is a fixpoint (a star forest);
+        # both directions checked — a strict subset is still a change
+        changed = (
+            small.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(small).limit(1).count()
+            if rounds > 1
+            else 1
+        )
+        edges = small
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"star CC did not converge in {MAX_CC_ITERS} rounds")
+    # star forest -> labels; isolated nodes keep themselves
+    roots = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("_root"))
+    out = (
+        labels.join(roots, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_root"), F.col("cluster_id")).alias("cluster_id"),
+        )
     )
-    for _ in range(MAX_CC_ITERS):
+    return out, rounds
+
+
+def _cc_jump(sym: DataFrame, labels: DataFrame) -> tuple[DataFrame, int]:
+    """Alternating min-neighbor + pointer jumping (the default): the edge
+    relation is touched once per OUTER round; the parent forest collapses
+    in label-only joins."""
+    for rounds in range(1, MAX_CC_ITERS + 1):
         # A: min over current neighbor labels (one edge shuffle)
         neigh = (
             sym.join(labels, sym.dst == labels.doc_id)
@@ -114,10 +195,50 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         changed = new.filter("_changed").count()
         if changed == 0:
-            return labels
+            return labels, rounds
         # B: collapse the new parent forest to roots (label-only joins)
         labels = _pointer_jump(new.drop("_changed"))
     raise RuntimeError(f"label propagation did not converge in {MAX_CC_ITERS} rounds")
+
+
+_CC_ALGOS = {"plain": _cc_plain, "star": _cc_star, "jump": _cc_jump}
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, algo: str = "jump"
+) -> tuple[DataFrame, int]:
+    """(doc_id, cluster_id = component min) over an undirected edge list
+    (doc_a, doc_b); ``nodes`` is the (doc_id) universe (singletons keep
+    themselves). Returns (labels, rounds). All three algorithms produce
+    identical labels; they differ in round complexity on deep graphs."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    return _CC_ALGOS[algo](sym, labels)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id): connected components of the MinHash-LSH pair
+    graph; cluster_id = min doc_id in the component (singletons keep
+    themselves). The canonical keep-one-per-cluster rule is then
+    ``keep = (doc_id == cluster_id)``.
+
+    Default algorithm: alternating min-neighbor + pointer-jumping rounds —
+    plain propagation needs O(diameter) edge joins (24 on the sf0.01 graph,
+    LSH chains run long); pointer jumping contracts each round's parent
+    forest in O(log depth) label-only joins, so the edge relation is
+    touched only O(log n) times. ``connected_components(..., algo="star")``
+    is the Kiveris large-star/small-star variant for adversarially deep
+    graphs; all algos produce identical labels (tests/test_cc_algos.py).
+    ``localCheckpoint`` truncates the iterative lineage so plans stay
+    flat."""
+    edges = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    labels, _rounds = connected_components(edges, nodes, algo="jump")
+    return labels
 
 
 DEDUP_CLUSTERS_SQL = (

@@ -50,6 +50,24 @@ def test_token_count_narrow(spark):
     assert _n_exchanges(df) == 0, _plan(df)
 
 
+def test_seen_anti_join_no_aggregate(spark):
+    """The URL-seen gate must stay a bare left-anti join: no aggregate
+    (distinct) on the seen/pending right sides — that would be a second
+    full shuffle over the hottest relation every superstep."""
+    from forum_dl_spark.crawl.superstep import _anti_join_gate
+
+    cand = spark.range(100).selectExpr("cast(id as string) seen_key", "id ord")
+    seen = spark.range(50).selectExpr("cast(id * 2 as string) seen_key").union(
+        spark.range(10).selectExpr("cast(id as string) seen_key")
+    )
+    df = _anti_join_gate(cand, seen)
+    plan = _plan(df)
+    assert "HashAggregate" not in plan, plan
+    assert "LeftAnti" in plan
+    # semantics: duplicates on the right change nothing
+    assert df.count() == _anti_join_gate(cand, seen.distinct()).count()
+
+
 def test_crawl_pages_projection_prunes_body(spark, tmp_path):
     """The scheduler-facing projections read pruned schemas: a url/ord
     selection over pages() must NOT read the body column from parquet."""
