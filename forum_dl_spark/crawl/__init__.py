@@ -1,6 +1,6 @@
 from .detect import DetectResult, detect_engine
 from .superstep import (CrawlConfig, CrawlResult, resume_crawl, run_crawl,
-                        run_crawl_multi)
+                        run_crawl_multi, run_crawl_shared)
 
 __all__ = [
     "DetectResult",
@@ -9,5 +9,6 @@ __all__ = [
     "CrawlResult",
     "run_crawl",
     "run_crawl_multi",
+    "run_crawl_shared",
     "resume_crawl",
 ]

@@ -309,6 +309,9 @@ def _make_fetch_parse(server: object, retries: int, keep_bodies: bool):
                         f_ord=ch["ord"],
                         f_attempt=attempt,
                         f_should_retry=ch["should_retry"],
+                        # children inherit the parent's engine (shared-
+                        # frontier crawls mix engines in one wave)
+                        f_engine=r["engine"],
                     )
 
                 # one-shot cache emulation: a row carrying a cached body is a
@@ -599,6 +602,221 @@ def run_crawl_multi(
     ]
 
 
+def run_crawl_shared(
+    spark: SparkSession,
+    server: object,
+    seed_urls: list[str],
+    workdir: str,
+    config: CrawlConfig | None = None,
+) -> CrawlResult:
+    """Crawl N seeds with ONE shared frontier and ONE shared seen set —
+    the shape a real 100 TB crawl runs (run_crawl_multi is the reference's
+    per-seed-isolated semantics; this is the beyond-reference scale mode).
+
+    Semantics:
+    - every wave pops from the union frontier under the same per-host
+      politeness budgets, so hosts progress fairly regardless of which
+      seed discovered them;
+    - the URL-seen gate spans all seeds: a URL discovered by two seeds is
+      fetched once (first discovery in ord order wins, the same rule as
+      the in-wave dedup);
+    - duplicate seeds — same detected engine AND base_url — collapse to
+      the first occurrence at seeding time (the whole second crawl would
+      be redundant under a shared seen set);
+    - per-seed ord keys get the seed's index prepended as an extra 8-hex
+      segment, so emission order is (seed, per-seed DFS order) and each
+      seed's subtree ordering is bit-identical to its standalone run.
+
+    Engines with driver wave hooks (post_wave/finalize — hackernews) are
+    not supported in shared mode; use run_crawl_multi for those.
+    """
+    config = config or CrawlConfig()
+    _validate_config(config)
+    wd = Path(workdir)
+    if wd.exists():
+        shutil.rmtree(wd)
+    (wd / "steps").mkdir(parents=True)
+
+    probe_pages: list[dict] = []
+    probe_seen: list[dict] = []
+    frontier_rows: list[dict] = []
+    seed_items: list[dict] = []
+    seen_bases: set[tuple[str, str]] = set()
+    engines_used: list[str] = []
+    robots_hosts: list[tuple[str, str]] = []
+    for si, seed_url in enumerate(seed_urls):
+        det = detect_engine(server, seed_url)
+        if det is None:
+            raise ValueError(f"no engine detected for {seed_url}")
+        if (det.engine, det.base_url) in seen_bases:
+            continue  # duplicate seed: redundant under the shared seen set
+        seen_bases.add((det.engine, det.base_url))
+        engine_mod = ENGINES[det.engine]
+        if hasattr(engine_mod, "post_wave") or hasattr(engine_mod, "finalize"):
+            raise NotImplementedError(
+                f"shared-frontier mode does not support engine "
+                f"{det.engine!r} (driver wave hooks); use run_crawl_multi"
+            )
+        from urllib.parse import urlparse as _urlparse
+
+        u = _urlparse(seed_url)
+        robots_hosts.append((u.netloc, u.scheme or "https"))
+        pre = f"{si:08x}"
+        plan = engine_mod.seed(
+            det.base_url, len(det.fetches), det.fetches, seed_url=seed_url
+        )
+        evict_urls = set(plan.get("evict_probe_urls", ()))
+        probe_pages += [
+            {
+                "rec": "page" if pf.status >= 0 else "pfail",
+                "p_url": pf.url,
+                "p_params": pf.params,
+                "p_status": pf.status,
+                "p_content_type": pf.content_type,
+                "p_body": bytes(pf.body),
+                "ord": pre + f"{i:08x}",
+                "p_attempt": 0,
+                "p_engine": det.engine,
+                "p_kind": "probe",
+            }
+            for i, pf in enumerate(det.fetches)
+        ]
+        probe_seen += [
+            {
+                "seen_key": pf.url if not pf.params else f"{pf.url}\x00{pf.params}",
+                "url": pf.url,
+                "status": "ok" if pf.status >= 0 else "failed",
+                "superstep": 0,
+                "evict": 1
+                if (pf.url if not pf.params else f"{pf.url}\x00{pf.params}")
+                in evict_urls
+                else 0,
+            }
+            for pf in det.fetches
+        ]
+        for row in plan["frontier"]:
+            row = dict(row, ord=pre + row["ord"], attempt=0, engine=det.engine)
+            state = dict(row.get("state") or {})
+            if "dfs" in state:  # the one state key that carries an ord
+                state["dfs"] = pre + state["dfs"]
+            row["state"] = state
+            frontier_rows.append(row)
+        seed_items += [
+            {"rec": "item", **it, "ord": pre + it["ord"]} for it in plan["items"]
+        ]
+        engines_used.append(det.engine)
+
+    if config.fetch_robots:
+        from .politeness import fetch_robots as _fetch_robots
+
+        explicit = {hb["host"] for hb in config.host_budgets or ()}
+        fetched_rules: list[dict] = []
+        for host, scheme in dict.fromkeys(robots_hosts):
+            fetched_rules += [
+                hb
+                for hb in _fetch_robots(
+                    server, [host], scheme=scheme,
+                    user_agent=getattr(server, "user_agent", "*") or "*",
+                )
+                if hb["host"] not in explicit
+            ]
+        if fetched_rules:
+            config = dataclasses.replace(
+                config, host_budgets=(config.host_budgets or []) + fetched_rules
+            )
+
+    # cross-seed URL dedup over the initial frontier (the wave gate only
+    # sees CANDIDATES; the seeded rows bypass it): first discovery in ord
+    # order wins, rows carrying cached bodies are per-seed cache hits and
+    # always kept
+    best: dict[str, dict] = {}
+    kept_cached: list[dict] = []
+    for row in frontier_rows:
+        sk = row["url"] if not row["params"] else f"{row['url']}\x00{row['params']}"
+        if (row.get("state") or {}).get("cached_body_b64") is not None:
+            kept_cached.append(row)
+        elif sk not in best or row["ord"] < best[sk]["ord"]:
+            best[sk] = row
+    frontier_rows = sorted(
+        list(best.values()) + kept_cached, key=lambda r: r["ord"]
+    )
+
+    step0 = wd / "steps" / "00000"
+    step0.mkdir(parents=True)
+    parsed_rows = [
+        tuple(r.get(f.name) for f in schemas.PARSED.fields)
+        for r in probe_pages + seed_items
+    ]
+    _atomic_write(
+        spark.createDataFrame(parsed_rows, schemas.PARSED).withColumn(
+            "superstep", F.lit(0)
+        ),
+        step0 / "parsed",
+    )
+    seen0 = (
+        spark.createDataFrame(pd.DataFrame(probe_seen), schemas.SEEN)
+        if probe_seen
+        else _empty(spark, schemas.SEEN)
+    )
+    _atomic_write(
+        seen0.withColumn(
+            "shard",
+            F.pmod(F.xxhash64(F.col("seen_key")), F.lit(config.shards)).cast("int"),
+        ),
+        step0 / "seen",
+    )
+    frontier = _with_derived(
+        spark.createDataFrame(
+            [
+                tuple(
+                    [
+                        r["url"],
+                        r["params"],
+                        r["url"] if not r["params"] else f"{r['url']}\x00{r['params']}",
+                        "",
+                        r["engine"],
+                        r["kind"],
+                        r["path"],
+                        r["page"],
+                        r["state"],
+                        r["priority"],
+                        r["ord"],
+                        r["attempt"],
+                        r["should_retry"],
+                    ]
+                )
+                for r in frontier_rows
+            ],
+            schemas.FRONTIER,
+        ).drop("seen_key", "host"),
+        config.shards,
+    )
+    _atomic_write(frontier, step0 / "frontier")
+    (step0 / "metrics.json").write_text(
+        json.dumps(
+            {
+                "superstep": 0,
+                "popped": len(probe_pages),
+                "new_frontier": len(frontier_rows),
+            }
+        )
+    )
+    (step0 / "_COMPLETE").write_text("ok")
+    (wd / "meta.json").write_text(
+        json.dumps(
+            {
+                "seed_url": seed_urls[0],
+                "seed_urls": seed_urls,
+                "base_url": seed_urls[0],
+                "engine": "shared",
+                "engines": engines_used,
+                "config": dataclasses.asdict(config),
+            }
+        )
+    )
+    return _loop(spark, server, wd, "shared", seed_urls[0], config, start_step=1)
+
+
 def resume_crawl(
     spark: SparkSession, server: object, workdir: str, config: CrawlConfig | None = None
 ) -> CrawlResult:
@@ -687,7 +905,11 @@ def _loop(
         step_dir = wd / "steps" / f"{step:05d}"
         step_dir.mkdir(parents=True, exist_ok=True)
         _atomic_write(
-            popped.withColumn("engine", F.lit(engine))
+            # rows keep their own engine (shared-frontier waves mix them);
+            # the crawl-level engine is only the fallback for legacy rows
+            popped.withColumn(
+                "engine", F.coalesce(F.col("engine"), F.lit(engine))
+            )
             .mapInPandas(fetch_parse, schemas.PARSED)
             .withColumn("superstep", F.lit(step)),
             step_dir / "parsed",
@@ -716,7 +938,7 @@ def _loop(
                 parsed.filter(F.col("rec") == rec).select(
                     F.col(f"{prefix}url").alias("url"),
                     F.col(f"{prefix}params").alias("params"),
-                    F.lit(engine).alias("engine"),
+                    F.coalesce(F.col("f_engine"), F.lit(engine)).alias("engine"),
                     F.col(f"{prefix}kind").alias("kind"),
                     F.col(f"{prefix}path").alias("path"),
                     F.col(f"{prefix}page").alias("page"),
@@ -794,8 +1016,9 @@ def _loop(
                 .repartition("shard"),
                 step_dir / "seen_compact",
             )
-        # engine-specific driver hook (e.g. hackernews descending id scan)
-        engine_mod = ENGINES[engine]
+        # engine-specific driver hook (e.g. hackernews descending id scan);
+        # "shared" (multi-seed) crawls admit only hook-free engines
+        engine_mod = ENGINES.get(engine)
         if hasattr(engine_mod, "post_wave"):
             next_frontier = engine_mod.post_wave(spark, wd, step, parsed, next_frontier)
         _atomic_write(next_frontier, step_dir / "frontier")
@@ -859,7 +1082,7 @@ def _loop(
         prev_frontier_size = frontier_size
         step += 1
 
-    engine_mod = ENGINES[engine]
+    engine_mod = ENGINES.get(engine)
     if hasattr(engine_mod, "finalize"):
         engine_mod.finalize(spark, wd, base_url, step)
         step += 1

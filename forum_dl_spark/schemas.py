@@ -149,6 +149,10 @@ PARSED = StructType(
         StructField("f_ord", StringType(), True),
         StructField("f_attempt", IntegerType(), True),
         StructField("f_should_retry", IntegerType(), True),
+        # owning engine of the candidate (nullable: single-engine crawls may
+        # leave it unset and fall back to the crawl's engine; shared-
+        # frontier crawls REQUIRE it — children inherit their parent's)
+        StructField("f_engine", StringType(), True),
         # page-lineage columns
         StructField("p_url", StringType(), True),
         StructField("p_params", StringType(), True),

@@ -1,9 +1,18 @@
-"""Multi-seed crawls: reference semantics — a fresh session (fresh seen
-set) per seed URL (forumdl.py:15–31)."""
+"""Multi-seed crawls.
+
+Two modes:
+- run_crawl_multi: reference semantics — a fresh session (fresh seen set)
+  per seed URL (forumdl.py:15–31);
+- run_crawl_shared: beyond-reference scale mode — ONE frontier + ONE seen
+  set over all seeds, per-host politeness fairness, per-seed ord prefix
+  so each seed's subtree ordering matches its standalone run."""
 
 from __future__ import annotations
 
-from forum_dl_spark.crawl import CrawlConfig, run_crawl, run_crawl_multi
+import pytest
+
+from forum_dl_spark.crawl import (CrawlConfig, run_crawl, run_crawl_multi,
+                                  run_crawl_shared)
 from forum_dl_spark.fixtures.discourse import SyntheticDiscourse
 from forum_dl_spark.fixtures.phpbb import SyntheticPhpbb
 from forum_dl_spark.fixtures.remap import MultiHost as _MultiHost
@@ -40,3 +49,91 @@ def test_same_seed_twice_gets_fresh_seen_set(spark, tmp_path):
     # fresh seen set per seed: the second crawl refetches everything
     assert _trace(multi[0]) == _trace(multi[1])
     assert multi[0].pages().count() > 0
+
+
+# --- shared-frontier mode ---------------------------------------------------
+
+
+def _seed_items(res, strip_prefix: bool):
+    """(type, path, url, content, per-seed ord) keyed by 8-hex seed index."""
+    out: dict[str, list] = {}
+    for r in res.items().orderBy("ord").collect():
+        o = r["ord"]
+        seed, rest = (o[:8], o[8:]) if strip_prefix else ("-", o)
+        out.setdefault(seed, []).append(
+            (r["type"], tuple(r["path"] or ()), r["url"], r["content"], rest)
+        )
+    return out
+
+
+def test_shared_frontier_matches_per_seed_runs(spark, tmp_path):
+    """Disjoint hosts: the shared crawl's items, split by seed prefix and
+    with the prefix stripped, are EXACTLY each standalone run's items —
+    same content, same per-seed DFS order."""
+    phpbb = SyntheticPhpbb(seed=42, n_cats=1, n_subs=1, n_topics=2, max_posts=4)
+    disc = SyntheticDiscourse(seed=42, n_cats=1, n_subcats=1, n_topics=2,
+                              max_posts=10)
+    srv = _MultiHost(phpbb, disc)
+    seeds = ["https://phpbb.example/", "https://forum.example/"]
+    shared = run_crawl_shared(spark, srv, seeds, str(tmp_path / "shared"))
+    got = _seed_items(shared, strip_prefix=True)
+    assert sorted(got) == ["00000000", "00000001"]
+    for i, seed in enumerate(seeds):
+        solo = run_crawl(spark, srv, seed, str(tmp_path / f"ssolo{i}"),
+                         CrawlConfig())
+        assert got[f"{i:08x}"] == _seed_items(solo, strip_prefix=False)["-"]
+    # one shared seen set: no URL fetched twice across seeds
+    fetched = [
+        (r["url"], r["params"] or "")
+        for r in shared.pages().filter("kind != 'probe'").collect()
+    ]
+    assert len(fetched) == len(set(fetched))
+
+
+def test_shared_frontier_dedups_duplicate_seed(spark, tmp_path):
+    """The same seed twice collapses at seeding time: one crawl's worth of
+    fetches and items (contrast run_crawl_multi, which refetches)."""
+    srv = SyntheticPhpbb(seed=42, n_cats=1, n_subs=1, n_topics=2, max_posts=4)
+    seeds = ["https://phpbb.example/"] * 2
+    shared = run_crawl_shared(spark, srv, seeds, str(tmp_path / "sdup"))
+    solo = run_crawl(spark, srv, seeds[0], str(tmp_path / "sdup_solo"),
+                     CrawlConfig())
+    assert _trace(shared) == _trace(solo)
+    assert (_seed_items(shared, strip_prefix=True)["00000000"]
+            == _seed_items(solo, strip_prefix=False)["-"])
+
+
+def test_shared_frontier_per_host_fairness(spark, tmp_path):
+    """A per-host budget caps EACH host per wave — one big host cannot
+    starve the other seed's host out of a shared wave."""
+    phpbb = SyntheticPhpbb(seed=42, n_cats=1, n_subs=1, n_topics=2, max_posts=4)
+    disc = SyntheticDiscourse(seed=42, n_cats=1, n_subcats=1, n_topics=2,
+                              max_posts=10)
+    srv = _MultiHost(phpbb, disc)
+    seeds = ["https://phpbb.example/", "https://forum.example/"]
+    shared = run_crawl_shared(
+        spark, srv, seeds, str(tmp_path / "fair"), CrawlConfig(host_budget=2)
+    )
+    from urllib.parse import urlparse
+    from collections import Counter
+
+    per_wave_host = Counter(
+        (r["superstep"], urlparse(r["url"]).netloc)
+        for r in shared.pages().filter("kind != 'probe'").collect()
+    )
+    assert max(per_wave_host.values()) <= 2
+    # both hosts appear in the earliest shared wave
+    first_wave = min(s for s, _ in per_wave_host)
+    hosts_in_first = {h for s, h in per_wave_host if s == first_wave}
+    assert hosts_in_first == {"phpbb.example", "forum.example"}
+
+
+def test_shared_frontier_rejects_hooked_engines(spark, tmp_path):
+    from forum_dl_spark.fixtures.hackernews import SyntheticHackerNews
+
+    srv = SyntheticHackerNews(seed=42, n_items=20)
+    with pytest.raises(NotImplementedError):
+        run_crawl_shared(
+            spark, srv, ["https://news.ycombinator.com/"],
+            str(tmp_path / "hn_shared"),
+        )
