@@ -48,6 +48,11 @@ from ..engines import ENGINES
 from ..oracle.session import FetchError
 from .detect import detect_engine
 
+# seen-set size at which AUTO bloom (CrawlConfig.use_bloom=None) engages:
+# below this the sketch build outweighs the anti-join it trims; above it
+# the prefilter keeps most candidates out of the shuffle
+BLOOM_AUTO_KEYS = 100_000
+
 _ITEM_COLS = [f.name for f in schemas.ITEMS.fields]
 _FRONTIER_CORE = [
     "url",
@@ -74,7 +79,13 @@ class CrawlConfig:
     max_supersteps: int = 10_000
     shards: int = schemas.N_SHARDS_DEFAULT
     keep_bodies: bool = True
-    use_bloom: bool = False  # bloom prefilter ahead of the seen anti-join
+    # bloom prefilter ahead of the seen anti-join. None = AUTO: off while
+    # the seen set is small (the sketch build would cost more than the
+    # anti-join it trims), on once seen_size crosses BLOOM_AUTO_KEYS —
+    # long crawls get the prefilter without opting in. True/False force.
+    # Safe to flip mid-crawl: the bloom path is bit-identical by test
+    # (test_incremental_bloom_long_crawl_identical).
+    use_bloom: bool | None = None
     # fetch /robots.txt for the seed host at crawl start and merge its
     # Disallow prefixes / Crawl-delay into host_budgets (explicit entries
     # win). Driver-side config acquisition — not part of the crawl trace
@@ -977,7 +988,12 @@ def _loop(
             candidates = apply_robots(candidates, budgets_df)
         seen_sofar = _read_seen_sofar(spark, wd, step)
         seen_all = seen_sofar.select("seen_key").union(seen_delta.select("seen_key"))
-        if config.use_bloom:
+        use_bloom = (
+            config.use_bloom
+            if config.use_bloom is not None
+            else seen_total >= BLOOM_AUTO_KEYS
+        )
+        if use_bloom:
             # bloom prefilter: definitely-new candidates skip the exact
             # anti-join; only the maybe-seen residue shuffles (crawl/bloom.py).
             # The sketch is INCREMENTAL: built once, then only the current

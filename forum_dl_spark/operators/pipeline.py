@@ -317,12 +317,24 @@ WHERE h < CASE WHEN bucket = 'short' THEN {SAMPLE_RATES["short"]}
 """
 
 
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters via the Kiveris large-star/small-star algorithm —
+    same labels (same DuckDB oracle), O(log n) rounds on adversarially
+    deep pair graphs where chains defeat plain propagation."""
+    edges = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    labels, _rounds = connected_components(edges, nodes, algo="star")
+    return labels
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
     "stratified_sample": stratified_sample,
 }
 
 ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
 }

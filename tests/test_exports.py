@@ -77,3 +77,27 @@ def test_mbox_and_warc_export(crawl, tmp_path):
     warc = spark.read.parquet(str(tmp_path / "warc"))
     assert warc.count() == crawl.pages().count()
     assert "body" in warc.columns
+
+
+def test_textify_documented_mapping():
+    """TEXTIFY.md's table, row for row: the html2text divergence is a
+    SPECIFICATION — a span-kernel change that shifts any of these rows
+    must update the doc, not slide silently."""
+    from forum_dl_spark.export.mail import textify_html
+
+    table = [
+        ("<p>Hello world</p>", "Hello world"),
+        ("<p>a <b>bold</b> word and <i>italics</i></p>",
+         "a bold word and italics"),
+        ('<p>see <a href="https://x/y">the docs</a> here</p>',
+         "see the docs here"),
+        ('<p>before</p><img src="pic.png" alt="alt text"><p>after</p>',
+         "before\n\n![](pic.png)\n\nafter"),
+        ("<ul><li>one</li><li>two</li></ul>", "one two"),
+        ("<blockquote>quoted line</blockquote><p>reply</p>",
+         "quoted line reply"),
+        ("<pre>code  block</pre>", "code block"),
+        ("text with <br> break", "text with break"),
+    ]
+    for html, expected in table:
+        assert textify_html(html) == expected, html
