@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     sparkgrp.add_argument("--master", default="local[*]")
     sparkgrp.add_argument("--workdir", default=None,
                           help="Crawl state root (default: temp dir)")
+    sparkgrp.add_argument("--shared-frontier", action="store_true",
+                          help="Crawl all URLs with ONE shared frontier + "
+                               "seen set (scale mode; default is the "
+                               "reference's fresh-session-per-URL)")
 
     p.add_argument("urls", metavar="URL", nargs="*")
     return p
@@ -177,6 +181,30 @@ def download(urls: list[str], args, server=None, spark=None) -> list[str]:
 
     spark = spark or get_spark(master=args.master)
     written: list[str] = []
+    if getattr(args, "shared_frontier", False):
+        from .crawl import run_crawl_shared
+
+        urls = [u for u in urls if server is not None or validate_url(u)]
+        if not urls:
+            return []
+        srv = server or HttpServer(
+            timeout=args.timeout,
+            user_agent=args.user_agent or "Forum-dl 0.3.0 (spark)",
+            retry_sleep=args.retry_sleep,
+            retry_sleep_multiplier=args.retry_sleep_multiplier,
+        )
+        root = args.workdir or tempfile.mkdtemp(prefix="forum_dl_spark_")
+        res = run_crawl_shared(
+            spark, srv, urls, f"{root}/crawl-shared",
+            CrawlConfig(retries=args.retries),
+        )
+        if getattr(args, "get_urls", False):
+            for row in (res.pages().orderBy("ord", "attempt").select("url")
+                        .toLocalIterator()):
+                print(row["url"])
+            return ["-"]
+        # one combined export: ord-sorted = (seed order, per-seed DFS)
+        return [_export(res, urls[0], args, spark)]
     for i, url in enumerate(urls):
         if server is None and not validate_url(url):
             print(f"skipping invalid URL {url!r}", file=sys.stderr)

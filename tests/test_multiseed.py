@@ -137,3 +137,31 @@ def test_shared_frontier_rejects_hooked_engines(spark, tmp_path):
             spark, srv, ["https://news.ycombinator.com/"],
             str(tmp_path / "hn_shared"),
         )
+
+
+def test_cli_shared_frontier_flag(spark, tmp_path):
+    """--shared-frontier routes a multi-URL invocation through ONE shared
+    crawl and writes one combined, ord-sorted export."""
+    import json
+
+    from forum_dl_spark.cli import build_parser, download
+
+    phpbb = SyntheticPhpbb(seed=42, n_cats=1, n_subs=1, n_topics=2, max_posts=4)
+    disc = SyntheticDiscourse(seed=42, n_cats=1, n_subcats=1, n_topics=2,
+                              max_posts=10)
+    srv = _MultiHost(phpbb, disc)
+    out = str(tmp_path / "combined.jsonl")
+    args = build_parser().parse_args(
+        ["https://phpbb.example/", "https://forum.example/",
+         "--shared-frontier", "-f", "jsonl", "-o", out,
+         "--workdir", str(tmp_path / "wd")]
+    )
+    written = download(args.urls, args, server=srv, spark=spark)
+    assert written == [out]
+    lines = [json.loads(r["value"]) for r in spark.read.text(out).collect()]
+    hosts = {
+        l["item"]["url"].split("/")[2]
+        for l in lines
+        if (l["item"]["url"] or "").startswith("http")
+    }
+    assert {"phpbb.example", "forum.example"} <= hosts
