@@ -51,6 +51,44 @@ def _board_page_row(base: str, board_path: list[str], board_url: str, ord_: str)
 
 
 def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> dict:
+    """site.json frontier row; a seed below the root (``/c/<slug>/...`` or
+    ``/t/<id>...``) rides along as ``state.sub`` so ``board_index`` parsing
+    restricts the crawl to that node's subtree — the reference's
+    ``write(url) → node_from_url`` semantics (writers/common.py:72-80,
+    discourse.py:112-157)."""
+    state = {"base": base_url}
+    evict: list[str] = []
+    if seed_url:
+        from ..urls import get_relative_url
+
+        u = seed_url.removesuffix(".json")  # discourse.py:113
+        rel = get_relative_url(u, base_url)
+        parts = [p for p in rel.split("/") if p]
+        if len(parts) > 1 and parts[0] in ("c", "t"):
+            state["sub"] = f"{parts[0]}/{parts[1]}"
+            if parts[0] == "t":
+                # the Thread node keeps the seed-form URL (discourse.py:150)
+                state["seed_thread_url"] = u
+            if seed_url.endswith(".json"):
+                # a *.json seed was already fetched by the detection
+                # cascade (should_cache=True): the crawl's read of that
+                # page is a CACHE HIT — no refetch, consumed once ->
+                # evicted from the final seen set (session.py:105-111)
+                import base64 as _b64
+
+                for pf in probes:
+                    if pf.status == 200 and pf.url == seed_url:
+                        state[f"pc:{pf.url}"] = _b64.b64encode(
+                            bytes(pf.body)
+                        ).decode()
+                        evict.append(pf.url)
+                        if parts[0] == "t":
+                            # t/<id>.json seed: node_from_url consumes the
+                            # cache; the post walk's SECOND access hits the
+                            # seen gate -> the reference emits the thread
+                            # with ZERO posts (session one-shot semantics)
+                            state["no_posts"] = "1"
+                        break
     return {
         "frontier": [
             {
@@ -59,13 +97,14 @@ def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> di
                 "kind": "board_index",
                 "path": [],
                 "page": 1,
-                "state": {"base": base_url},
+                "state": state,
                 "priority": KIND_PRIORITY["board_index"],
                 "ord": f"{next_index:08x}",
                 "should_retry": 1,
             }
         ],
         "items": [],
+        "evict_probe_urls": evict,
     }
 
 
@@ -124,6 +163,46 @@ def _parse_board_index(row: dict, body: bytes, resp_url: str):
     items: list[dict] = []
     children: list[dict] = []
 
+    sub = row["state"].get("sub") or ""
+    if sub.startswith("t/"):
+        # thread seed: no board items at all; one thread_page row for
+        # t/<id>.json whose parse emits the Thread node + posts
+        # (node_from_url, discourse.py:131-155 + write_thread). The
+        # reference fetches it should_cache=True and the post walk
+        # consumes it once -> evicted from the final seen set.
+        tid = sub[2:]
+        top_cats = ",".join(
+            str(c["id"]) for c in site["categories"]
+            if "parent_category_id" not in c
+        )
+        t_url = urljoin(base, f"t/{tid}.json")
+        t_state = {
+            "base": base,
+            "thread_seed": "1",
+            "seen_evict": "1",
+            "seed_thread_url": row["state"].get("seed_thread_url")
+            or urljoin(base, f"t/{tid}"),
+            "top_cats": top_cats,
+        }
+        if (b64 := row["state"].get(f"pc:{t_url}")) is not None:
+            t_state["cached_body_b64"] = b64
+            if row["state"].get("no_posts"):
+                t_state["no_posts"] = "1"
+        children.append(
+            {
+                "url": t_url,
+                "params": "",
+                "kind": "thread_page",
+                "path": [],
+                "page": 1,
+                "state": t_state,
+                "priority": KIND_PRIORITY["thread_page"],
+                "ord": child(row["ord"], 0),
+                "should_retry": 1,
+            }
+        )
+        return items, children
+
     root_ord = child(row["ord"], 0)
     items.append(_item("board", [], base, base, root_ord, title="", data={}))
 
@@ -154,6 +233,45 @@ def _parse_board_index(row: dict, body: bytes, resp_url: str):
                 _item("board", [pid, cid], url, resp_url, b_ord, title=cat["name"], data=cat)
             )
             children.append(_board_page_row(base, [pid, cid], url, child(b_ord, 0)))
+
+    if sub.startswith("c/"):
+        # board seed: restrict to the matched board's subtree. Slug search
+        # order mirrors _get_node_from_url (discourse.py:121-130): top-level
+        # boards in registration order, each followed by its own
+        # subcategories. Global-DFS ord keys restricted to a subtree sort
+        # in exactly the subtree's DFS order, so no re-keying is needed.
+        slug = sub[2:]
+        nested_by_pid: dict[str, list[dict]] = {}
+        for cat in site["categories"]:
+            if "parent_category_id" in cat:
+                nested_by_pid.setdefault(
+                    str(cat["parent_category_id"]), []
+                ).append(cat)
+        target: list[str] | None = None
+        for cat in site["categories"]:
+            if "parent_category_id" in cat:
+                continue
+            if cat["slug"] == slug:
+                target = [str(cat["id"])]
+                break
+            for sc in nested_by_pid.get(str(cat["id"]), ()):
+                if sc["slug"] == slug:
+                    target = [str(cat["id"]), str(sc["id"])]
+                    break
+            if target:
+                break
+        if target is None:
+            # reference raises ValueError out of node_from_url
+            # (discourse.py:157)
+            raise ValueError(f"no board with slug {slug!r} under {base}")
+        keep = lambda p: list(p[: len(target)]) == target
+        items = [it for it in items if keep(it["path"])]
+        children = [ch for ch in children if keep(ch["path"])]
+        for ch in children:
+            # *.json seed == this board page: consume the probe's cached
+            # body instead of refetching (one-shot cache semantics)
+            if (b64 := row["state"].get(f"pc:{ch['url']}")) is not None:
+                ch["state"]["cached_body_b64"] = b64
     return items, children
 
 
@@ -193,7 +311,15 @@ def _parse_board_page(row: dict, body: bytes, resp_url: str):
                 "kind": "board_page",
                 "path": list(row["path"]),
                 "page": row["page"] + 1,
-                "state": dict(row["state"]),
+                # one-shot keys (probe-cache body, eviction flags) must NOT
+                # ride into the next page: a cached body is consumed exactly
+                # once (session.py:105-111) — propagating it would make every
+                # later page re-parse page 1's body and never drain
+                "state": {
+                    k: v
+                    for k, v in row["state"].items()
+                    if k not in ("cached_body_b64", "seen_evict", "no_posts")
+                },
                 "priority": KIND_PRIORITY["board_page"],
                 "ord": child(row["ord"], idx),
                 "should_retry": 1,
@@ -211,6 +337,41 @@ def _parse_thread_page(row: dict, body: bytes, resp_url: str, first: bool):
     page_json = json.loads(body)
     items: list[dict] = []
     children: list[dict] = []
+
+    if first and row["state"].get("thread_seed"):
+        # seeded directly at a topic: THIS parse emits the Thread node
+        # (board-page parses emit it otherwise). Path = (category_id, id)
+        # only for TOP-LEVEL categories — the reference's nested-category
+        # search loop can never match (discourse.py:143-148 re-tests the
+        # root's subboards inside the loop) and raises; quirk preserved.
+        cat = str(page_json["category_id"])
+        top_cats = (row["state"].get("top_cats") or "").split(",")
+        if cat not in top_cats:
+            raise ValueError(
+                f"topic {page_json['id']} sits in non-top-level category "
+                f"{cat}: the reference's node_from_url raises here "
+                "(discourse.py:143-148)"
+            )
+        t_path = [cat, str(page_json["id"])]
+        row = dict(row, path=t_path)
+        items.append(
+            _item(
+                "thread",
+                t_path,
+                row["state"]["seed_thread_url"],
+                resp_url,
+                row["ord"],  # strict prefix of every post ord below it
+                title=page_json.get("title"),
+                data={
+                    k: v for k, v in page_json.items()
+                },
+            )
+        )
+        if row["state"].get("no_posts"):
+            # t/<id>.json seed: the post walk's re-access of the consumed
+            # cache entry hits the seen gate in the reference -> thread
+            # emitted with zero posts (session.py one-shot semantics)
+            return items, children
 
     if first:
         stream = list(page_json["post_stream"]["stream"])

@@ -147,6 +147,12 @@ class SyntheticDiscourse:
             return self._post_chunk(path, query)
         if path.startswith("/t/") and path.endswith(".json"):
             return self._topic(path)
+        if path.startswith("/c/") or path.startswith("/t/"):
+            # every real Discourse page carries the crawler-nav; the HTML
+            # variants of category/topic URLs serve the detection probes
+            # when a crawl is seeded below the root (node_from_url,
+            # discourse.py:112-157)
+            return 200, "text/html", self._homepage()
         return 404, "text/plain", b"not found"
 
     def _homepage(self) -> bytes:

@@ -260,6 +260,54 @@ class _DiscourseSim:
         except (AlreadyVisitedError, AlreadyFailedError, HttpStatusError, FetchError):
             return
 
+    # discourse.py:112-157 — node_from_url
+    def node_from_url(self, url: str):
+        url = url.removesuffix(".json")
+        rel = get_relative_url(url, self.base_url)
+        parts = PurePosixPath(rel).parts
+        if len(parts) <= 1:
+            return self.root
+        if parts[0] == "c":
+            slug = parts[1]
+            for board in self.root.subboards.values():
+                if board.data.get("slug") == slug:
+                    return board
+                for sub in board.subboards.values():
+                    if sub.data.get("slug") == slug:
+                        return sub
+            raise ValueError(f"no board with slug {slug!r}")
+        if parts[0] == "t":
+            topic_id = parts[1]
+            resp = self.session.get(
+                urljoin(self.base_url, f"t/{topic_id}.json"), should_cache=True
+            )
+            data = json.loads(resp.body)
+            cat = str(data["category_id"])
+            if cat in self.root.subboards:
+                path = (cat, str(topic_id))
+            else:
+                # the reference's nested-category loop re-tests the ROOT's
+                # subboards and can never break -> ValueError
+                # (discourse.py:143-148); quirk preserved
+                raise ValueError(
+                    f"topic {topic_id} in non-top-level category {cat}"
+                )
+            return OracleItem(
+                type="thread",
+                path=path,
+                url=url,
+                origin=resp.url,
+                title=data["title"],
+                data=data,
+            )
+        raise ValueError(f"unresolvable node URL {url!r}")
+
+    # writers/common.py:79-80 + 124-129
+    def write_thread(self, thread: OracleItem) -> None:
+        self.items.append(thread)
+        for post in self.thread_posts(thread):
+            self.items.append(post)
+
     # writers/common.py:100-129 emission order
     def write_board(self, board: _Board) -> None:
         self.items.append(
@@ -287,10 +335,15 @@ def run_reference_discourse(server: object, seed_url: str, retries: int = 4) -> 
     assert base_url is not None, "fixture must be detectable as discourse"
     sim = _DiscourseSim(session, base_url)
     sim.fetch_top_boards()
-    # node_from_url(seed) → root board (discourse.py:112-119); find_board
-    # triggers _fetch_lower_boards which is a no-op fetch-wise for discourse
-    # (_do_fetch_subboards: pass, discourse.py:109-110)
-    sim.write_board(sim.root)
+    # node_from_url(seed): root/category URL → that board's subtree;
+    # topic URL → just that thread (discourse.py:112-157 + write(),
+    # writers/common.py:72-80). find_board's _fetch_lower_boards is a
+    # no-op fetch-wise for discourse (_do_fetch_subboards: pass).
+    node = sim.node_from_url(seed_url)
+    if isinstance(node, _Board):
+        sim.write_board(node)
+    else:
+        sim.write_thread(node)
     return OracleResult(
         base_url=base_url, trace=list(session.trace), seen=session.seen(), items=sim.items
     )

@@ -121,3 +121,66 @@ def test_metrics_recorded(crawl):
     m = crawl.metrics()
     assert len(m) >= 4  # detection + several waves
     assert sum(x.get("fetched_ok", 0) for x in m[1:]) > 0
+
+
+# --- subtree seeding: node_from_url semantics (discourse.py:112-157) --------
+
+
+def _tables(res):
+    pages = [
+        (r["url"], r["params"] or "")
+        for r in res.pages().orderBy("ord", "attempt").collect()
+    ]
+    seen = {(r["seen_key"], r["status"]) for r in res.seen().collect()}
+    items = [
+        (r["type"], tuple(r["path"]), tuple(r["subpath"] or ()), r["url"],
+         r["origin"], r["title"], r["content"])
+        for r in res.items().orderBy("ord").collect()
+    ]
+    return pages, seen, items
+
+
+def _oracle_tables(o):
+    items = [
+        (i.type, i.path, i.subpath, i.url, i.origin, i.title, i.content)
+        for i in o.items
+    ]
+    return o.trace, set(o.seen.items()), items
+
+
+@pytest.mark.parametrize("rel", [
+    "c/cat1-sub2/1012",       # subcategory board URL
+    "c/cat2/102",             # top-level category board URL
+    "c/cat2/102.json",        # .json form is stripped (discourse.py:113)
+])
+def test_board_seed_crawls_only_subtree(spark, server, tmp_path, rel):
+    """A board-URL seed writes ONLY that board's subtree — trace, seen set
+    and item emission all equal the reference's write(seed) run."""
+    seed = f"https://forum.example/{rel}"
+    oracle = run_reference_discourse(server, seed)
+    res = run_crawl(spark, server, seed, str(tmp_path / "sub"), CrawlConfig())
+    assert _tables(res) == _oracle_tables(oracle)
+    # and it is a strict subset of the full crawl's boards
+    types = {r["type"] for r in res.items().collect()}
+    assert "board" in types
+    paths = {tuple(r["path"]) for r in res.items().collect()}
+    sub_root = tuple(rel.removesuffix(".json").split("/")[-1:])
+    assert all(p[: 1] == (sub_root[0],) or p[1:2] == sub_root
+               for p in paths if p)
+
+
+def test_thread_seed_crawls_only_thread(spark, server, tmp_path):
+    """A topic-URL seed writes just that thread (+posts); the t/<id>.json
+    fetch is consumed once by the post walk -> evicted from seen."""
+    seed = "https://forum.example/t/101001"
+    oracle = run_reference_discourse(server, seed)
+    res = run_crawl(spark, server, seed, str(tmp_path / "tseed"), CrawlConfig())
+    assert _tables(res) == _oracle_tables(oracle)
+    items = res.items().orderBy("ord").collect()
+    assert items[0]["type"] == "thread"
+    assert {r["type"] for r in items} == {"thread", "post"}
+    # cached-consume eviction: the topic json is absent from final seen
+    assert not any(
+        k.endswith("/t/101001.json") for k, _ in
+        ((r["seen_key"], r["status"]) for r in res.seen().collect())
+    )
