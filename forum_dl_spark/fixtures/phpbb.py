@@ -109,6 +109,10 @@ class SyntheticPhpbb:
                 return 200, "text/html", b'<html dir="ltr"><body>index</body></html>'
             return self._viewforum(int(q["f"][0]), int(q.get("start", ["0"])[0]))
         if path == "/viewtopic.php":
+            if "t" not in q:
+                # detection probes strip the query (normalize_url drops it);
+                # a bare viewtopic.php is an error page on real phpBB
+                return 404, "text/plain", b"missing t"
             return self._viewtopic(int(q["t"][0]), int(q.get("start", ["0"])[0]))
         if path.startswith(("/img/", "/a/", "/obj/", "/v/")):
             ctype, body = media_bytes(self.seed, path)
@@ -176,8 +180,21 @@ class SyntheticPhpbb:
                 f'<a href="./viewtopic.php?t={t}&amp;start={start + self.posts_per_page}">Next</a>'
                 f"</span></div>"
             )
+        # breadcrumb trail (home → [category →] forum), the markup the
+        # reference's viewtopic node_from_url walks to locate the board
+        # (phpbb.py:404-412: a[itemprop=item] inside .breadcrumbs)
+        crumb_parts = ['<a itemprop="item" href="./">Home</a>']
+        if forum not in self.cat_ids():
+            cat = forum // 10
+            crumb_parts.append(
+                f'<a itemprop="item" href="./viewforum.php?f={cat}">Category {cat}</a>'
+            )
+        crumb_parts.append(
+            f'<a itemprop="item" href="./viewforum.php?f={forum}">Forum {forum}</a>'
+        )
+        crumbs = f'<div class="breadcrumbs">{"".join(crumb_parts)}</div>'
         return 200, "text/html", (
-            f'<html dir="ltr"><body><h2 class="topic-title">'
+            f'<html dir="ltr"><body>{crumbs}<h2 class="topic-title">'
             f'<a href="./viewtopic.php?t={t}">{self.topic_title(t)}</a></h2>'
             f"{posts}{nxt}</body></html>"
         ).encode()

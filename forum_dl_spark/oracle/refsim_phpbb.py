@@ -23,9 +23,9 @@ from __future__ import annotations
 
 import re
 from base64 import b64decode
-import re
 from dataclasses import dataclass, field
 from datetime import datetime
+from pathlib import PurePosixPath
 from urllib.parse import parse_qs, urljoin, urlparse
 
 from ..htmlmini import Node, parse_html
@@ -155,6 +155,73 @@ class _PhpbbSim:
                     )
                     board.subboards[sid] = sb
                     self.boards.append(sb)
+
+    # common.py:253-271 — find_board triggers the one-time lower-board
+    # prefetch, then walks the subboard maps
+    def find_board(self, path: tuple[str, ...]) -> _Board:
+        if not getattr(self, "_all_fetched", False):
+            self.fetch_lower_boards()
+            self._all_fetched = True
+        cur = self.root
+        for part in path:
+            cur = cur.subboards[part]
+        return cur
+
+    # phpbb.py:379-428 — _get_node_from_url (+ the node_from_url wrapper,
+    # common.py:291-298)
+    def node_from_url(self, url: str):
+        resp = self.session.get(url, should_cache=True)
+        resolved = normalize_url(resp.url, keep_queries=("f", "t"))
+        parsed = urlparse(resolved)
+        parts = PurePosixPath(parsed.path).parts
+        if parts and parts[-1] == "viewforum.php":
+            if not getattr(self, "_all_fetched", False):
+                self.fetch_lower_boards()
+                self._all_fetched = True
+            q = parse_qs(parsed.query)
+            if "f" not in q:
+                return self.root
+            board_id = q["f"][0]
+            for board in self.boards:
+                if board is not self.root and board.path[-1] == board_id:
+                    return board
+            raise ValueError(f"no board f={board_id}")
+        if parts and parts[-1] == "viewtopic.php":
+            topic_id = parse_qs(parsed.query)["t"][0]
+            doc = parse_html(resp.body.decode("utf-8", "replace"))
+            bc = doc.find("div", class_="breadcrumbs")
+            anchors = (
+                bc.find_all("a", attrs={"itemprop": "item"}) if bc is not None else []
+            )
+            crumb_urls = [urljoin(url, a.get("href") or "") for a in anchors]
+            # find_board_from_urls (common.py:273-289): walk down one level
+            # per crumb; last matching subboard wins, no break
+            cur = self.root
+            for cu in crumb_urls[1:]:
+                for sub in cur.subboards.values():
+                    if sub.url == cu:
+                        cur = sub
+            title = doc.find("h2", class_="topic-title").find("a").string()
+            return OracleItem(
+                type="thread",
+                path=cur.path + (topic_id,),
+                url=resolved,
+                origin=resolved,
+                title=title,
+                data={},
+            )
+        if normalize_url(resolved) == self.base_url:
+            return self.root
+        raise ValueError(f"unresolvable node URL {url!r}")
+
+    # writers/common.py:72-80 + 124-129 — write(url) thread branch
+    def write_thread(self, thread: OracleItem) -> None:
+        self.items.append(thread)
+        for post_or_file, ref in self.thread_items(thread):
+            if post_or_file.type == "post":
+                self.items.append(post_or_file)
+            else:
+                self.write_file(post_or_file, ref)
 
     # HtmlExtractor._fetch_board_page_threads (common.py:410-422)
     def board_items(self, board: _Board):
@@ -327,10 +394,15 @@ def run_reference_phpbb(server: object, seed_url: str, retries: int = 4) -> Orac
     assert base_url is not None, "fixture must be detectable as phpbb"
     sim = _PhpbbSim(session, base_url)
     sim.fetch_top_boards()
-    # node_from_url(seed) -> root; find_board(()) -> _fetch_lower_boards
-    # (common.py:253-259) — prefetches every board page
-    sim.fetch_lower_boards()
-    sim.write_board(sim.root)
+    # writers/common.py:72-80: node = node_from_url(seed); a board →
+    # write_board(find_board(node.path)) (find_board prefetches every board
+    # page via _fetch_lower_boards, common.py:253-259), a viewtopic URL →
+    # write_thread(thread)
+    node = sim.node_from_url(seed_url)
+    if isinstance(node, _Board):
+        sim.write_board(sim.find_board(node.path))
+    else:
+        sim.write_thread(node)
     return OracleResult(
         base_url=base_url, trace=list(session.trace), seen=session.seen(),
         items=sim.items,

@@ -94,3 +94,64 @@ def test_span_sequence_equality(crawl, oracle):
             for s in extract_spans(p.content or "", p.origin)
         ]
         assert got[".".join(p.path + p.subpath)] == want
+
+
+# --- subtree seeding: node_from_url semantics (phpbb.py:379-428) ------------
+
+
+def _tables(res):
+    pages = [
+        (r["url"], r["params"] or "")
+        for r in res.pages().orderBy("ord", "attempt").collect()
+    ]
+    seen = {(r["seen_key"], r["status"]) for r in res.seen().collect()}
+    items = [
+        (r["type"], tuple(r["path"]), tuple(r["subpath"] or ()), r["url"],
+         r["origin"], r["title"], r["content"])
+        for r in res.items().orderBy("ord").collect()
+    ]
+    return pages, seen, items
+
+
+def _oracle_tables(o):
+    items = [
+        (i.type, i.path, i.subpath, i.url, i.origin, i.title, i.content)
+        for i in o.items
+    ]
+    return o.trace, set(o.seen.items()), items
+
+
+@pytest.mark.parametrize("rel", [
+    "viewforum.php?f=2",    # top-level category
+    "viewforum.php?f=12",   # subforum
+    "viewforum.php",        # no f -> root (full crawl via the home row)
+])
+def test_viewforum_seed_crawls_only_subtree(spark, server, tmp_path, rel):
+    """A viewforum seed writes only that board's subtree; every board page
+    is still PREFETCHED (the reference's _fetch_lower_boards trace), and
+    unconsumed prefetches stay in the final seen set."""
+    seed = f"https://phpbb.example/{rel}"
+    oracle = run_reference_phpbb(server, seed)
+    res = run_crawl(spark, server, seed, str(tmp_path / "sub"), CrawlConfig())
+    assert _tables(res) == _oracle_tables(oracle)
+    if "f=" in rel:
+        f = rel.split("f=")[1]
+        paths = {tuple(r["path"]) for r in res.items().collect()}
+        assert paths and all(f in p[:2] for p in paths)
+
+
+def test_viewtopic_seed_crawls_only_thread(spark, server, tmp_path):
+    """A viewtopic seed resolves its board path from the page breadcrumbs
+    and writes just that thread (+posts/files); the seed page itself is
+    consumed from the probe cache -> evicted from the final seen set."""
+    seed = "https://phpbb.example/viewtopic.php?t=1201"
+    oracle = run_reference_phpbb(server, seed)
+    res = run_crawl(spark, server, seed, str(tmp_path / "tseed"), CrawlConfig())
+    assert _tables(res) == _oracle_tables(oracle)
+    items = res.items().orderBy("ord").collect()
+    assert items[0]["type"] == "thread"
+    assert tuple(items[0]["path"]) == ("1", "12", "1201")
+    assert {r["type"] for r in items} <= {"thread", "post", "file"}
+    assert not any(
+        r["seen_key"] == seed for r in res.seen().collect()
+    )
