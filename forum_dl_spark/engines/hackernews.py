@@ -32,6 +32,7 @@ by the seen gate.
 
 from __future__ import annotations
 
+import base64
 import json
 from datetime import datetime, timezone
 from pathlib import Path
@@ -52,7 +53,7 @@ _LIST_URLS = {
 }
 
 KIND_PRIORITY = {"hn_maxitem": 0, "hn_list": 1, "hn_list_item": 2,
-                 "hn_item": 2, "hn_thread_page": 3}
+                 "hn_item": 2, "hn_thread_page": 3, "hn_walk": 1, "hn_bfs": 2}
 
 
 def _row(url: str, kind: str, state: dict, ord_: str, page: int = 1,
@@ -65,7 +66,23 @@ def _row(url: str, kind: str, state: dict, ord_: str, page: int = 1,
 
 
 def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> dict:
-    mode = _LIST_URLS.get(urlparse(seed_url or base_url).path.rstrip() or "/", None)
+    parsed_seed = urlparse(seed_url or base_url)
+    if parsed_seed.path == "/item":
+        # node_from_url thread seed (hackernews.py:121-136): maxitem is
+        # still fetched (_fetch_top_boards), then the parent walk ascends
+        # to the root story; write(url) on a Thread emits no board item
+        tid = parse_qs(parsed_seed.query)["id"][0]
+        frontier = [
+            _row(f"{FIREBASE}/v0/maxitem.json", "hn_maxitem",
+                 {"mode": "item"}, f"{next_index:08x}"),
+            # every walk fetch is should_cache=True and consumed exactly
+            # once by the posts BFS → evicted from the final seen set
+            _row(_item_url(int(tid)), "hn_walk",
+                 {"mode": "item", "bodies": "{}", "seen_evict": "1"},
+                 f"{next_index + 1:08x}"),
+        ]
+        return {"frontier": frontier, "items": []}
+    mode = _LIST_URLS.get(parsed_seed.path.rstrip() or "/", None)
     items = [_item("board", [], BASE, BASE, f"{next_index + 1:08x}", title="")]
     if mode is None:  # full-site scan
         frontier = [
@@ -96,6 +113,10 @@ def parse(row: dict, status: int, body: bytes, resp_url: str):
         return _parse_list_item(row, body, resp_url)
     if kind == "hn_thread_page":
         return [], []  # only reachable if the seen gate failed — no-op
+    if kind == "hn_walk":
+        return _parse_walk(row, body, resp_url)
+    if kind == "hn_bfs":
+        return _parse_bfs(row, body, resp_url)
     raise ValueError(f"unknown kind {kind}")
 
 
@@ -127,6 +148,93 @@ def _parse_scan_item(row: dict, body: bytes):
             )
             idx += 1
     return [], children
+
+
+def _parse_walk(row: dict, body: bytes, resp_url: str):
+    """Parent walk step (hackernews.py:164-187): one superstep per hop —
+    the walk is inherently sequential (each hop's target is in the previous
+    response). Bodies accumulate in state so the posts BFS can serve the
+    walk-chain items as one-shot cache hits."""
+    data = json.loads(body)
+    if data is None:
+        # reference: `"parent" in None` → TypeError out of node_from_url
+        raise TypeError("null item in parent walk (hackernews.py:170)")
+    bodies = json.loads(row["state"]["bodies"])
+    sid = str(data["id"])
+    bodies[sid] = base64.b64encode(bytes(body)).decode()
+    if "parent" in data:
+        return [], [
+            _row(_item_url(int(data["parent"])), "hn_walk",
+                 {"mode": "item", "bodies": json.dumps(bodies),
+                  "seen_evict": "1"},
+                 child(row["ord"], 0))
+        ]
+    # root story reached: the Thread node (hackernews.py:176-187), then the
+    # posts BFS. BFS ords are level-prefixed (child(bfs_base, level) + one
+    # fixed-width index per tree level), which string-sorts in exactly the
+    # reference's FIFO queue order: level-major, then parent-order + kid
+    # index within a level.
+    items = [
+        _item("thread", [sid], f"{BASE}item?id={sid}", resp_url,
+              child(row["ord"], 0), title=data.get("title"), data=data)
+    ]
+    bfs_base = child(row["ord"], 1)
+    children = [
+        _row(row["url"], "hn_bfs",
+             {"mode": "item", "tid": sid, "subids": "[]",
+              "bodies": json.dumps({k: v for k, v in bodies.items() if k != sid}),
+              "level": "0", "seq": "", "bfs_base": bfs_base,
+              # the root re-fetch is the first one-shot cache consume
+              "cached_body_b64": bodies[sid]},
+             child(bfs_base, 0))
+    ]
+    return items, children
+
+
+def _parse_bfs(row: dict, body: bytes, resp_url: str):
+    """Kids-BFS node (hackernews.py:222-260): emit the post, enqueue kids.
+    Walk-chain kids carry their cached body (cache consume, no fetch);
+    null kids are fetched, warned about and skipped."""
+    data = json.loads(body)
+    if not data:
+        return [], []
+    st = row["state"]
+    tid = st["tid"]
+    subids = json.loads(st["subids"])
+    ct = datetime.fromtimestamp(data["time"], tz=timezone.utc).replace(tzinfo=None)
+    post = _item(
+        "post", [tid], f"{BASE}item?id={tid}", resp_url, row["ord"],
+        subpath=[str(s) for s in subids], author=data.get("by", ""),
+        creation_time=ct, content=data.get("text", ""), data=data,
+    )
+    post["spans"] = [
+        {"kind": s.kind, "text": s.text, "media_ref": s.media_ref,
+         "offset": s.offset}
+        for s in extract_spans(data.get("text", ""), resp_url)
+    ]
+    bodies = json.loads(st["bodies"])
+    level = int(st["level"])
+    seq = st["seq"]
+    bfs_base = st["bfs_base"]
+    children = []
+    for j, kid in enumerate(data.get("kids", [])):
+        kid_s = str(kid)
+        kseq = seq + f"{j:08x}"
+        kst = {"mode": "item", "tid": tid,
+               "subids": json.dumps(subids + [kid_s]),
+               "bodies": "{}", "level": str(level + 1), "seq": kseq,
+               "bfs_base": bfs_base}
+        if kid_s in bodies:
+            # walk-chain descendant: one-shot cache consume, no fetch
+            kst["cached_body_b64"] = bodies[kid_s]
+            kst["bodies"] = json.dumps(
+                {k: v for k, v in bodies.items() if k != kid_s}
+            )
+        children.append(
+            _row(_item_url(int(kid)), "hn_bfs", kst,
+                 child(bfs_base, level + 1) + kseq)
+        )
+    return [post], children
 
 
 def _parse_list(row: dict, body: bytes):
@@ -182,8 +290,11 @@ def post_wave(spark, wd: Path, step: int, parsed, next_frontier):
     from pyspark.sql import functions as F
 
     meta = json.loads((Path(wd) / "meta.json").read_text())
-    if _LIST_URLS.get(urlparse(meta.get("seed_url", "")).path.rstrip() or "/"):
+    seed_path = urlparse(meta.get("seed_url", "")).path
+    if _LIST_URLS.get(seed_path.rstrip() or "/"):
         return next_frontier  # list mode: no id scan
+    if seed_path == "/item":
+        return next_frontier  # thread seed: walk+BFS frontier, no id scan
 
     state_path = Path(wd) / "hn_scan.json"
     state = json.loads(state_path.read_text()) if state_path.exists() else None

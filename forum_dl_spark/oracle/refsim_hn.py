@@ -137,6 +137,27 @@ def run_reference_hackernews(server: object, seed_url: str, retries: int = 4) ->
     )
 
 
+def run_reference_hackernews_item(
+    server: object, seed_url: str, retries: int = 4
+) -> OracleResult:
+    """Thread seed via node_from_url (hackernews.py:121-136 +
+    writers/common.py:72-80): maxitem fetch, parent walk to the root story,
+    then write_thread — NO board item, no id scan."""
+    from urllib.parse import parse_qs, urlparse
+
+    session = OracleSession(server=server, retries=retries)
+    int(session.get(f"{FIREBASE}/v0/maxitem.json").body)
+    sim = _HnSim(session)
+    item_id = int(parse_qs(urlparse(seed_url).query)["id"][0])
+    thread = sim.fetch_item_thread(item_id)
+    items = [thread]
+    for post in sim.thread_posts(thread):
+        items.append(post)
+    return OracleResult(
+        base_url=BASE, trace=list(session.trace), seen=session.seen(), items=items
+    )
+
+
 _LIST_URLS = {
     "new": "newstories", "top": "topstories", "best": "beststories",
     "ask": "askstories", "show": "showstories", "job": "jobstories",

@@ -90,3 +90,59 @@ def test_list_mode_threads_only(spark, tmp_path):
     # the reference emits ZERO posts in list mode (BFS dies on the root
     # re-fetch, session.py:112-113) — quirk preserved
     assert crawl.items().filter("type = 'post'").count() == 0
+
+
+# --- item?id=N thread seeding: node_from_url (hackernews.py:121-136) --------
+
+
+def test_item_seed_comment_walks_to_root(spark, tmp_path):
+    """Seeding at a comment walks the parent chain to the root story and
+    writes that whole thread; walk fetches are consumed by the posts BFS →
+    evicted from the final seen set."""
+    from forum_dl_spark.oracle.refsim_hn import run_reference_hackernews_item
+
+    srv = SyntheticHackerNews(seed=42, n_items=60)
+    # a comment whose parent is also a comment (≥2-hop walk)
+    iid = next(
+        i for i in range(2, 61)
+        if not srv.is_story(i) and not srv.is_story(srv.parent(i))
+    )
+    seed = f"https://news.ycombinator.com/item?id={iid}"
+    oracle = run_reference_hackernews_item(srv, seed)
+    crawl = run_crawl(spark, srv, seed, str(tmp_path / "hn_item"), CrawlConfig())
+    _assert_match(crawl, oracle)
+    rows = crawl.items().orderBy("ord").collect()
+    assert rows[0]["type"] == "thread"
+    assert {r["type"] for r in rows} == {"thread", "post"}
+    # no board item, and the walk-chain fetches are evicted from seen
+    assert not any(r["type"] == "board" for r in rows)
+    assert not any(
+        r["seen_key"].endswith(f"/item/{iid}.json")
+        for r in crawl.seen().collect()
+    )
+
+
+def test_item_seed_with_null_kids(spark, tmp_path):
+    """Null (deleted) kids inside the seeded thread are fetched, skipped,
+    and stay in the final seen set — same as the full-site BFS."""
+    from forum_dl_spark.oracle.refsim_hn import run_reference_hackernews_item
+
+    srv = SyntheticHackerNews(seed=42, n_items=120, allow_nulls=True)
+    # a root story whose subtree contains at least one null kid
+    def subtree_has_null(root):
+        stack = list(srv.kids(root))
+        while stack:
+            k = stack.pop()
+            if srv.is_null(k):
+                return True
+            stack.extend(srv.kids(k))
+        return False
+
+    iid = next(
+        i for i in range(1, 121)
+        if srv.is_story(i) and not srv.is_null(i) and subtree_has_null(i)
+    )
+    seed = f"https://news.ycombinator.com/item?id={iid}"
+    oracle = run_reference_hackernews_item(srv, seed)
+    crawl = run_crawl(spark, srv, seed, str(tmp_path / "hn_nullkid"), CrawlConfig())
+    _assert_match(crawl, oracle)
