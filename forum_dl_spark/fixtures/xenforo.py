@@ -144,6 +144,32 @@ class SyntheticXenforo:
             + "</body></html>"
         ).encode()
 
+    def _crumbs(self, board: int, thread: int | None = None) -> str:
+        """Breadcrumb trail with itemprop=item anchors — the markup the
+        reference's node_from_url walks (xenforo.py:398-440): board pages
+        end at the board itself; thread pages append the thread, so
+        ``anchors[-2]`` is the containing board."""
+        lis = ['<li><a itemprop="item" href="/">Forums</a></li>']
+        if board in self.cat_ids():
+            lis.append(
+                f'<li><a itemprop="item" href="/categories/cat-{board}/">Category {board}</a></li>'
+            )
+        else:
+            cat = board // 10
+            lis.append(
+                f'<li><a itemprop="item" href="/categories/cat-{cat}/">Category {cat}</a></li>'
+            )
+            lis.append(
+                f'<li><a itemprop="item" href="/forums/sub-{board}/">Forum {board}</a></li>'
+            )
+        if thread is not None:
+            lis.append(
+                f'<li><a itemprop="item" href="/threads/t-{thread}/">{self.title(thread)}</a></li>'
+            )
+        return f'<ul class="p-breadcrumbs">{"".join(lis)}</ul>'
+
+    _NAV = '<nav><a data-nav-id="forums" href="/">Forums</a></nav>'
+
     def _board(self, board: int, page: int) -> tuple[int, str, bytes]:
         if board not in self.board_ids():
             return 404, "text/plain", b"no board"
@@ -157,12 +183,14 @@ class SyntheticXenforo:
             "</div></div>"
             for t in chunk
         )
+        kind = "categories/cat" if board in self.cat_ids() else "forums/sub"
         nxt = ""
         if lo + self.topics_per_page < len(tids):
-            kind = "categories/cat" if board in self.cat_ids() else "forums/sub"
             nxt = f'<a class="pageNav-jump--next" href="/{kind}-{board}/page-{page + 1}">Next</a>'
+        og = f"https://xen.example/{kind}-{board}/"
         return 200, "text/html", (
-            f'<html id="XF"><body>{rows}{nxt}</body></html>'
+            f'<html id="XF"><head><meta property="og:url" content="{og}"></head>'
+            f"<body>{self._NAV}{self._crumbs(board)}{rows}{nxt}</body></html>"
         ).encode()
 
     def _thread(self, t: int, page: int) -> tuple[int, str, bytes]:
@@ -178,5 +206,8 @@ class SyntheticXenforo:
         if lo + self.posts_per_page < np:
             nxt = f'<a class="pageNav-jump--next" href="/threads/t-{t}/page-{page + 1}">Next</a>'
         return 200, "text/html", (
-            f'<html id="XF"><body><h1>{self.title(t)}</h1>{posts}{nxt}</body></html>'
+            f"<html id=\"XF\"><body>{self._NAV}{self._crumbs(t // 100, t)}"
+            f'<h1>{self.title(t)}</h1>'
+            f'<div class="block-container" data-lb-id="thread-{t}">{posts}</div>'
+            f"{nxt}</body></html>"
         ).encode()

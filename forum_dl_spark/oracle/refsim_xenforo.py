@@ -259,6 +259,52 @@ class _XenforoSim:
                 pass
         self.items.append(item)
 
+    # xenforo.py:394-440 — _get_node_from_url (+ node_from_url wrapper);
+    # all boards are already registered/fetched by fetch_top_boards' own
+    # _fetch_lower_boards tail, so find_board is a pure walk
+    def node_from_url(self, url: str):
+        resp = self.session.get(url, should_cache=True)
+        doc = parse_html(resp.body.decode("utf-8", "replace"))
+        bc = doc.find("ul", class_="p-breadcrumbs")
+        anchors = (
+            bc.find_all("a", attrs={"itemprop": "item"}) if bc is not None else []
+        )
+        if bc is None or len(anchors) <= 1:
+            return self.root
+        if (
+            doc.find("article") is not None
+            or doc.find("div", class_="MessageCard") is not None
+        ):
+            board_url = urljoin(url, anchors[-2].get("href"))
+            block = next(
+                d for d in doc.find_all("div", class_="block-container")
+                if d.get("data-lb-id")
+            )
+            tid = re.match(r"^thread-(\d+)$", block.get("data-lb-id")).group(1)
+            title = doc.find("h1").string()
+            for b in self.boards:
+                if b.url == board_url:
+                    return OracleItem(
+                        type="thread", path=b.path + (tid,),
+                        url=urljoin(self.base_url, url), origin=resp.url,
+                        title=title, data={},
+                    )
+            raise ValueError(f"thread board {board_url!r} not registered")
+        og = doc.find("meta", attrs={"property": "og:url"}).get("content")
+        for b in self.boards:
+            if b.url == og:
+                return b
+        raise ValueError(f"no board with og:url {og!r}")
+
+    # writers/common.py:72-80 + 124-129 — write(url) thread branch
+    def write_thread(self, thread: OracleItem) -> None:
+        self.items.append(thread)
+        for post_or_file, ref in self.thread_items(thread):
+            if post_or_file.type == "post":
+                self.items.append(post_or_file)
+            else:
+                self.write_file(post_or_file, ref)
+
     def write_board(self, board: _Board) -> None:
         self.items.append(
             OracleItem(type="board", path=board.path, url=board.url,
@@ -284,9 +330,14 @@ def run_reference_xenforo(server: object, seed_url: str, retries: int = 4) -> Or
     assert base is not None
     sim = _XenforoSim(session, base)
     sim.fetch_top_boards()
-    # node_from_url(seed): cached homepage, no breadcrumbs → root
-    sim.session.try_get(seed_url, should_cache=True)
-    sim.write_board(sim.root)
+    # writers/common.py:72-80: homepage seed has no breadcrumbs → root;
+    # board-page seed (og:url match) → that subtree; thread-page seed
+    # (article/MessageCard + data-lb-id) → just that thread
+    node = sim.node_from_url(seed_url)
+    if isinstance(node, _Board):
+        sim.write_board(node)
+    else:
+        sim.write_thread(node)
     return OracleResult(
         base_url=base, trace=list(session.trace), seen=session.seen(), items=sim.items
     )

@@ -73,3 +73,63 @@ def test_both_layouts_exercised(server, oracle):
     layouts = {server.card_layout(int(i.path[-1])) for i in oracle.items if i.type == "thread"}
     assert layouts == {True, False}
     assert any(i.type == "post" for i in oracle.items)
+
+
+# --- subtree seeding: node_from_url semantics (xenforo.py:394-440) ----------
+
+
+def _tables(res):
+    pages = [
+        (r["url"], r["params"] or "")
+        for r in res.pages().orderBy("ord", "attempt").collect()
+    ]
+    seen = {(r["seen_key"], r["status"]) for r in res.seen().collect()}
+    items = [
+        (r["type"], tuple(r["path"]), tuple(r["subpath"] or ()), r["url"],
+         r["origin"], r["title"], r["content"])
+        for r in res.items().orderBy("ord").collect()
+    ]
+    return pages, seen, items
+
+
+def _oracle_tables(o):
+    items = [
+        (i.type, i.path, i.subpath, i.url, i.origin, i.title, i.content)
+        for i in o.items
+    ]
+    return o.trace, set(o.seen.items()), items
+
+
+@pytest.mark.parametrize("rel,root_path", [
+    ("categories/cat-2/", ("2",)),       # category page seed (og:url match)
+    ("forums/sub-11/", ("1", "11")),     # subforum page seed
+])
+def test_board_seed_crawls_only_subtree(spark, server, tmp_path, rel, root_path):
+    """A board-page seed (resolved via its og:url meta) writes only that
+    subtree; every subforum is still prefetched and unconsumed prefetches
+    stay in the final seen set."""
+    seed = f"https://xen.example/{rel}"
+    oracle = run_reference_xenforo(server, seed)
+    res = run_crawl(spark, server, seed, str(tmp_path / "sub"), CrawlConfig())
+    assert _tables(res) == _oracle_tables(oracle)
+    paths = {tuple(r["path"]) for r in res.items().collect()}
+    assert paths and all(p[: len(root_path)] == root_path for p in paths)
+
+
+@pytest.mark.parametrize("t,path", [
+    ("t-1101", ("1", "11", "1101")),   # thread in a subforum
+    ("t-201", ("2", "201")),           # thread directly in a category
+])
+def test_thread_seed_crawls_only_thread(spark, server, tmp_path, t, path):
+    """A thread-page seed (article/MessageCard + data-lb-id + breadcrumb
+    board anchor) writes just that thread; its page 1 is consumed from the
+    probe cache -> evicted from the final seen set."""
+    seed = f"https://xen.example/threads/{t}/"
+    oracle = run_reference_xenforo(server, seed)
+    res = run_crawl(spark, server, seed, str(tmp_path / t), CrawlConfig())
+    assert _tables(res) == _oracle_tables(oracle)
+    items = res.items().orderBy("ord").collect()
+    assert items[0]["type"] == "thread"
+    assert tuple(items[0]["path"]) == path
+    assert not any(r["type"] == "board" for r in items)
+    assert not any(r["seen_key"] == seed for r in res.seen().collect())
