@@ -16,12 +16,14 @@ Differences from phpBB/XenForo, per forum_dl/extractors/simplemachines.py:
 
 from __future__ import annotations
 
+import base64
 import re
-from urllib.parse import urljoin
+from urllib.parse import parse_qs, urljoin, urlparse
 
 from ..htmlmini import Node, parse_html
 from ..oracle.refsim_smf import parse_smf_date
 from ..spans import extract_file_refs, extract_spans
+from ..urls import normalize_url
 from .discourse import _item
 from .ordkey import child
 
@@ -73,6 +75,27 @@ def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> di
                 break
             parent = parent.parent
 
+    # node_from_url seeding (simplemachines.py:343-381): the homepage is
+    # ALWAYS among the probes for SMF (the cascade's suffix-stripping
+    # normalization reduces any index.php?… seed to the base URL), so no
+    # extra fetch is needed to build the tree — only the subtree/thread
+    # restriction changes.
+    q = parse_qs(urlparse(seed_url or "").query)
+    if "topic" in q:
+        return _thread_seed(base_url, next_index, probes, seed_url, boards)
+
+    target: tuple | None = None
+    probe_map = {pf.url: pf for pf in probes if pf.status == 200}
+    if "board" in q:
+        # board branch matches _boards by the resolved breadcrumb URL —
+        # canonically the board's page-1 URL (simplemachines.py:373-379)
+        bid = q["board"][0].partition(".")[0]
+        b_url = urljoin(base_url, f"index.php?board={bid}.0")
+        target = next((tuple(p) for p, u, _t in boards if u == b_url), None)
+        if target is None:
+            raise ValueError(f"no board with url {b_url!r}")
+
+    keep = lambda p: target is None or tuple(p[: len(target)]) == target
     subs = [b for b in boards if len(b[0]) >= 2]
     dfs_root = f"{next_index + len(subs):08x}"
     items = [_item("board", [], base_url, base_url, dfs_root, title="")]
@@ -85,22 +108,77 @@ def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> di
         b_ord = child(board_ord[parent], i)
         board_ord[tuple(path)] = b_ord
         items.append(_item("board", path, url, base_url, b_ord, title=title))
+    items = [it for it in items if keep(it["path"])]
 
     frontier = []
+    evict: list[str] = [base_url] if target is None else []
     for i, (path, url, title) in enumerate(subs):
-        frontier.append(
-            _row(url, "board_page", path, 1,
-                 {"base": base_url, "dfs": child(board_ord[tuple(path)], 0),
-                  "seen_evict": "1"},
-                 f"{next_index + i:08x}")
-        )
+        st: dict[str, str] = {"base": base_url}
+        if keep(path):
+            st["dfs"] = child(board_ord[tuple(path)], 0)
+            st["seen_evict"] = "1"
+            if url in probe_map:
+                # probed page (e.g. the seed board): its page-1 read is a
+                # cache hit on the probe response, consumed once → evicted
+                st["cached_body_b64"] = base64.b64encode(
+                    bytes(probe_map[url].body)
+                ).decode()
+                evict.append(url)
+        else:
+            # prefetched but never consumed: stays in the final seen set
+            st["skip"] = "1"
+        frontier.append(_row(url, "board_page", path, 1, st,
+                             f"{next_index + i:08x}"))
     for path, url, title in boards:
-        if len(path) == 1:
+        if len(path) == 1 and keep(path):
             dfs = child(board_ord[tuple(path)], 0)
-            frontier.append(
-                _row(url, "board_page", path, 1, {"base": base_url, "dfs": dfs}, dfs)
-            )
-    return {"frontier": frontier, "items": items, "evict_probe_urls": [base_url]}
+            st = {"base": base_url, "dfs": dfs}
+            if url in probe_map:
+                # e.g. an index.php#cN fragment seed: the category read
+                # consumes the raw-seed probe entry
+                st["cached_body_b64"] = base64.b64encode(
+                    bytes(probe_map[url].body)
+                ).decode()
+                st["seen_evict"] = "1"
+                evict.append(url)
+            frontier.append(_row(url, "board_page", path, 1, st, dfs))
+    return {"frontier": frontier, "items": items, "evict_probe_urls": evict}
+
+
+def _thread_seed(base_url: str, next_index: int, probes: list, seed_url: str,
+                 boards: list[tuple[list[str], str, str]]) -> dict:
+    """Topic-page seed (#forumposts branch, simplemachines.py:355-369):
+    breadcrumb walk → board path; just that thread is written, with page 1
+    consumed from the probe cache."""
+    pc = next((pf for pf in probes if pf.status == 200 and pf.url == seed_url), None)
+    assert pc is not None, "topic seed must be among the detection probes"
+    resolved = normalize_url(seed_url, append_slash=True,
+                             keep_queries=("board", "topic"))
+    tdoc = parse_html(bytes(pc.body).decode("utf-8", "replace"))
+    bc = tdoc.find(class_="navigate_section") or tdoc.find(class_="linktree")
+    anchors = [li.find("a") for li in bc.find_all("li")]
+    crumb_urls = [a.get("href") for a in anchors]
+    subs_of: dict[tuple, list[tuple[tuple, str]]] = {}
+    for path, url, _t in boards:
+        subs_of.setdefault(tuple(path[:-1]), []).append((tuple(path), url))
+    cur: tuple = ()
+    for cu in crumb_urls[1:-1]:
+        for p, u in subs_of.get(cur, ()):
+            if u == cu:
+                cur = p
+    tid = tdoc.find("input", attrs={"name": "topic"}).get("value")
+    title = tdoc.find("title").string()
+    t_path = list(cur) + [tid]
+    t_ord = f"{next_index:08x}"
+    items = [_item("thread", t_path, resolved, resolved, t_ord, title=title)]
+    tstate = {"base": base_url, "dfs": child(t_ord, 0)}
+    evict: list[str] = []
+    if resolved == pc.url:
+        tstate["cached_body_b64"] = base64.b64encode(bytes(pc.body)).decode()
+        tstate["seen_evict"] = "1"
+        evict.append(pc.url)
+    frontier = [_row(resolved, "thread_page", t_path, 1, tstate, child(t_ord, 0))]
+    return {"frontier": frontier, "items": items, "evict_probe_urls": evict}
 
 
 def parse(row: dict, status: int, body: bytes, resp_url: str):
@@ -108,6 +186,9 @@ def parse(row: dict, status: int, body: bytes, resp_url: str):
         return [], []
     kind = row["kind"]
     if kind == "board_page":
+        if row["state"].get("skip"):
+            # node_from_url prefetch outside the seeded subtree
+            return [], []
         return _parse_board_page(row, body, resp_url)
     if kind == "thread_page":
         return _parse_thread_page(row, body, resp_url)

@@ -113,6 +113,27 @@ class SyntheticSimplemachines:
             "</body></html>"
         ).encode()
 
+    # every real SMF page carries the theme credit + contents link the
+    # detection predicate needs (simplemachines.py:240-257)
+    _SMF_ANCHOR = (
+        '<a href="https://www.simplemachines.org" title="Simple Machines">SMF</a>'
+    )
+
+    def _linktree(self, b: int, topic: int | None = None) -> str:
+        """Breadcrumb trail (home → category → board [→ topic]) — the
+        markup _get_node_from_url walks (simplemachines.py:348-375)."""
+        cat = b // 10
+        lis = [
+            f'<li><a href="{BASE}">Home</a></li>',
+            f'<li><a href="{BASE}index.php#c{cat}">Category {cat}</a></li>',
+            f'<li><a href="{BASE}index.php?board={b}.0">Board {b}</a></li>',
+        ]
+        if topic is not None:
+            lis.append(
+                f'<li><a href="{BASE}index.php?topic={topic}.0">{self.title(topic)}</a></li>'
+            )
+        return f'<div class="linktree"><ul>{"".join(lis)}</ul></div>'
+
     def _board(self, b: int, start: int) -> tuple[int, str, bytes]:
         if b not in self.all_board_ids():
             return 404, "text/plain", b"no board"
@@ -129,7 +150,10 @@ class SyntheticSimplemachines:
                 f'<a class="nav_page" href="{BASE}index.php?board={b}.{start + self.topics_per_page}">'
                 '<span class="next_page">Next</span></a>'
             )
-        return 200, "text/html", f"<html><body>{rows}{nxt}</body></html>".encode()
+        return 200, "text/html", (
+            f'<html><head><link rel="contents" href="{BASE}"></head>'
+            f"<body>{self._linktree(b)}{rows}{nxt}{self._SMF_ANCHOR}</body></html>"
+        ).encode()
 
     def _thread(self, t: int, start: int) -> tuple[int, str, bytes]:
         if t // 100 not in self.all_board_ids() or t not in self.topic_ids(t // 100):
@@ -157,5 +181,10 @@ class SyntheticSimplemachines:
                 '<span class="next_page">Next</span></a>'
             )
         return 200, "text/html", (
-            "<html><body>" + "".join(posts) + nxt + "</body></html>"
+            f'<html><head><title>{self.title(t)}</title>'
+            f'<link rel="contents" href="{BASE}"></head><body>'
+            f"{self._linktree(t // 100, t)}"
+            f'<input name="topic" value="{t}">'
+            f'<div id="forumposts">{"".join(posts)}</div>'
+            f"{nxt}{self._SMF_ANCHOR}</body></html>"
         ).encode()

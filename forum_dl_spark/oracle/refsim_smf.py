@@ -285,6 +285,53 @@ class _SmfSim:
                 pass
         self.items.append(item)
 
+    # simplemachines.py:336-341 — _resolve_url is a FETCHING resolver
+    def resolve_url(self, url: str) -> str:
+        return normalize_url(
+            self.session.get(url, should_cache=True).url,
+            append_slash=True,
+            keep_queries=("board", "topic"),
+        )
+
+    # simplemachines.py:343-381 — _get_node_from_url (+ the wrapper's
+    # resolve of the seed itself, common.py:292)
+    def node_from_url(self, url: str):
+        resolved = self.resolve_url(url)
+        resp = self.session.get(resolved, should_cache=True)
+        doc = parse_html(resp.body.decode("utf-8", "replace"))
+        bc = doc.find(class_="navigate_section") or doc.find(class_="linktree")
+        anchors = [li.find("a") for li in bc.find_all("li")]
+        if doc.find("div", attrs={"id": "forumposts"}) is not None:
+            crumb_urls = [a.get("href") for a in anchors]
+            # find_board_from_urls (common.py:273-289): raw hrefs, one level
+            # per crumb (home and the topic itself excluded), last match wins
+            cur = self.root
+            for cu in crumb_urls[1:-1]:
+                for sub in cur.subboards.values():
+                    if sub.url == cu:
+                        cur = sub
+            tid = doc.find("input", attrs={"name": "topic"}).get("value")
+            title = doc.find("title").string()
+            return OracleItem(
+                type="thread", path=cur.path + (tid,), url=resolved,
+                origin=resp.url, title=title, data={},
+            )
+        self.prefetch_lower()
+        board_href = self.resolve_url(anchors[-1].get("href"))
+        for b in self.boards:
+            if b.url == board_href:
+                return b
+        raise ValueError(f"no board with url {board_href!r}")
+
+    # writers/common.py:72-80 + 124-129 — write(url) thread branch
+    def write_thread(self, thread: OracleItem) -> None:
+        self.items.append(thread)
+        for post_or_file, ref in self.thread_items(thread):
+            if post_or_file.type == "post":
+                self.items.append(post_or_file)
+            else:
+                self.write_file(post_or_file, ref)
+
     def write_board(self, board: _Board) -> None:
         self.items.append(
             OracleItem(type="board", path=board.path, url=board.url,
@@ -310,11 +357,14 @@ def run_reference_smf(server: object, seed_url: str, retries: int = 4) -> Oracle
     assert base is not None
     sim = _SmfSim(session, base)
     sim.fetch_top_boards()
-    # node_from_url(seed): cached homepage → board branch → prefetch
-    sim.session.try_get(seed_url, should_cache=True)
-    sim.prefetch_lower()
-    sim.session.try_get(base, should_cache=True)  # _resolve_url(breadcrumb)
-    sim.write_board(sim.root)
+    # writers/common.py:72-80: root/board-page seed → that board's subtree
+    # (board branch prefetches every board page); topic-page seed
+    # (#forumposts) → just that thread
+    node = sim.node_from_url(seed_url)
+    if isinstance(node, _Board):
+        sim.write_board(node)
+    else:
+        sim.write_thread(node)
     return OracleResult(
         base_url=base, trace=list(session.trace), seen=session.seen(), items=sim.items
     )
