@@ -22,7 +22,7 @@ from .discourse import _item
 from .ordkey import child
 
 _EL_COMMENT = re.compile(r"^elComment_(\d+)")
-KIND_PRIORITY = {"board_page": 1, "thread_page": 2, "file": 4}
+KIND_PRIORITY = {"home": 0, "board_page": 1, "thread_page": 2, "file": 4}
 
 
 def _row(url, kind, path, page, state, ord_):
@@ -31,15 +31,7 @@ def _row(url, kind, path, page, state, ord_):
             "should_retry": 1}
 
 
-def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> dict:
-    body = None
-    for pf in probes:
-        if pf.status == 200 and pf.url.rstrip("/") == base_url.rstrip("/"):
-            body = pf.body
-            break
-    assert body is not None
-    doc = parse_html(body.decode("utf-8", "replace"))
-
+def _board_tree(doc: Node) -> list[tuple[list[str], str, str]]:
     boards: list[tuple[list[str], str, str]] = []
     for li in doc.find_all("li", class_="cForumRow"):
         cid = li.get("data-categoryid")
@@ -52,33 +44,173 @@ def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> di
             # own anchor text); the buggy initial category-title registration
             # (invision.py:118-128) never reaches the writer
             boards.append(([cid, bid], ba.get("href"), ba.string()))
+    return boards
+
+
+def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> dict:
+    if seed_url and seed_url.rstrip("/") != base_url.rstrip("/"):
+        return _seed_via_home(base_url, next_index, probes, seed_url)
+    body = None
+    for pf in probes:
+        if pf.status == 200 and pf.url.rstrip("/") == base_url.rstrip("/"):
+            body = pf.body
+            break
+    assert body is not None
+    doc = parse_html(body.decode("utf-8", "replace"))
+    boards = _board_tree(doc)
 
     dfs_root = f"{next_index + len(boards):08x}"
-    items = [_item("board", [], base_url, base_url, dfs_root, title="")]
-    board_ord: dict[tuple, str] = {(): dfs_root}
-    child_count: dict[tuple, int] = {}
+    items, board_ord = _board_items_and_ords(boards, base_url, dfs_root)
     frontier = []
     for i, (path, url, title) in enumerate(boards):
+        # prefetch row: trace ord = prefetch position; one-shot evicted
+        frontier.append(
+            _row(url, "board_page", path, 1,
+                 {"base": base_url, "dfs": child(board_ord[tuple(path)], 0),
+                  "seen_evict": "1"},
+                 f"{next_index + i:08x}")
+        )
+    return {"frontier": frontier, "items": items, "evict_probe_urls": [base_url]}
+
+
+def _board_items_and_ords(
+    boards: list[tuple[list[str], str, str]], base_url: str, dfs_root: str
+) -> tuple[list[dict], dict[tuple, str]]:
+    items = [_item("board", [], base_url, base_url, dfs_root, title="")]
+    board_ord: dict[tuple, str] = {(): dfs_root}
+    board_url: dict[tuple, str] = {(): base_url}
+    child_count: dict[tuple, int] = {}
+    for path, url, title in boards:
         parent = tuple(path[:-1])
         j = child_count.get(parent, 0) + 1
         child_count[parent] = j
         b_ord = child(board_ord[parent], j)
         board_ord[tuple(path)] = b_ord
-        items.append(_item("board", path, url, base_url, b_ord, title=title))
-        # prefetch row: trace ord = prefetch position; one-shot evicted
-        frontier.append(
-            _row(url, "board_page", path, 1,
-                 {"base": base_url, "dfs": child(b_ord, 0), "seen_evict": "1"},
-                 f"{next_index + i:08x}")
+        board_url[tuple(path)] = url
+        # depth-2 boards' origin is overwritten to their category's page
+        # URL by the prefetch's re-registration update (invision.py:131-152
+        # + the _set_board update branch); categories keep the homepage
+        origin = board_url[parent] if len(path) > 1 else base_url
+        items.append(_item("board", path, url, origin, b_ord, title=title))
+    return items, board_ord
+
+
+def _seed_via_home(base_url: str, next_index: int, probes: list, seed_url: str) -> dict:
+    """node_from_url seeding below the root (invision.py:154-185): mode is
+    decided from the probe's cached seed page; the homepage (fetch_top_boards)
+    becomes a ``home`` frontier row."""
+    import base64
+
+    pc = next((pf for pf in probes if pf.status == 200 and pf.url == seed_url), None)
+    assert pc is not None, "below-root seed must be among the detection probes"
+    doc = parse_html(bytes(pc.body).decode("utf-8", "replace"))
+    bl = doc.find("ul", attrs={"data-role": "breadcrumbList"})
+    lis = bl.find_all("li") if bl is not None else []
+    state: dict[str, str] = {
+        "base": base_url,
+        "pc_url": pc.url,
+        "pc_b64": base64.b64encode(bytes(pc.body)).decode(),
+    }
+    evict: list[str] = []
+    if len(lis) <= 2:
+        state["mode"] = "root"
+        state["seen_evict"] = "1"  # homepage consumed by the root page-1 read
+    elif doc.find("article") is not None:
+        state["mode"] = "thread"
+        state["board_url"] = lis[-2].find("a").get("href")
+        state["tid"] = doc.find("body").get("data-pageid")
+        state["title"] = str(
+            doc.find("meta", attrs={"property": "og:title"}).get("content")
         )
-    return {"frontier": frontier, "items": items, "evict_probe_urls": [base_url]}
+        evict.append(pc.url)  # thread page 1 consumes the probe cache
+    else:
+        state["mode"] = "board"
+        evict.append(pc.url)  # the board's page-1 read consumes it
+    frontier = [
+        {
+            "url": base_url, "params": "", "kind": "home", "path": [],
+            "page": 1, "state": state, "priority": KIND_PRIORITY["home"],
+            "ord": f"{next_index:08x}", "should_retry": 1,
+        }
+    ]
+    return {"frontier": frontier, "items": [], "evict_probe_urls": evict}
+
+
+def _parse_home(row: dict, body: bytes, resp_url: str):
+    """fetch_top_boards for a below-root seed: build the tree, emit the
+    prefetch rows (EVERY board, cats included) + subtree-restricted items."""
+    import base64
+
+    base = row["state"]["base"]
+    mode = row["state"]["mode"]
+    doc = parse_html(body.decode("utf-8", "replace"))
+    boards = _board_tree(doc)
+    home_ord = row["ord"]
+    children: list[dict] = []
+
+    if mode == "thread":
+        bpath = next(
+            (tuple(p) for p, u, _t in boards if u == row["state"]["board_url"]),
+            None,
+        )
+        if bpath is None:
+            raise ValueError(f"thread board {row['state']['board_url']!r} unknown")
+        t_path = list(bpath) + [row["state"]["tid"]]
+        t_ord = child(home_ord, len(boards))
+        items = [
+            _item("thread", t_path, row["state"]["pc_url"], row["state"]["pc_url"],
+                  t_ord, title=row["state"]["title"])
+        ]
+        for i, (path, url, _t) in enumerate(boards):
+            # prefetched but never consumed → stays in the final seen set
+            children.append(
+                _row(url, "board_page", list(path), 1,
+                     {"base": base, "skip": "1"}, child(home_ord, i))
+            )
+        children.append(
+            _row(row["state"]["pc_url"], "thread_page", t_path, 1,
+                 {"base": base, "dfs": child(t_ord, 0),
+                  "cached_body_b64": row["state"]["pc_b64"],
+                  "seen_evict": "1"},
+                 child(t_ord, 0))
+        )
+        return items, children
+
+    dfs_root = child(home_ord, len(boards))
+    all_items, board_ord = _board_items_and_ords(boards, base, dfs_root)
+    target: tuple | None = None
+    if mode == "board":
+        target = next(
+            (tuple(p) for p, u, _t in boards if u == row["state"]["pc_url"]), None
+        )
+        if target is None:
+            # reference: url not among _boards -> ValueError (invision.py:185)
+            raise ValueError(f"no board with url {row['state']['pc_url']!r}")
+    keep = lambda p: target is None or tuple(p[: len(target)]) == target
+    items = [it for it in all_items if keep(it["path"])]
+    for i, (path, url, _t) in enumerate(boards):
+        st: dict[str, str] = {"base": base}
+        if keep(path):
+            st["dfs"] = child(board_ord[tuple(path)], 0)
+            st["seen_evict"] = "1"
+            if row["state"].get("pc_url") == url:
+                st["cached_body_b64"] = row["state"]["pc_b64"]
+        else:
+            st["skip"] = "1"
+        children.append(_row(url, "board_page", list(path), 1, st, child(home_ord, i)))
+    return items, children
 
 
 def parse(row: dict, status: int, body: bytes, resp_url: str):
     if status >= 400:
         return [], []
     kind = row["kind"]
+    if kind == "home":
+        return _parse_home(row, body, resp_url)
     if kind == "board_page":
+        if row["state"].get("skip"):
+            # node_from_url prefetch outside the seeded subtree
+            return [], []
         return _parse_board_page(row, body, resp_url)
     if kind == "thread_page":
         return _parse_thread_page(row, body, resp_url)

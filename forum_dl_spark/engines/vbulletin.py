@@ -19,7 +19,7 @@ from .discourse import _item
 from .ordkey import child
 
 _FORUM_ID = re.compile(r"^forum(\d+)$")
-KIND_PRIORITY = {"board_page": 1, "thread_page": 2, "file": 4}
+KIND_PRIORITY = {"home": 0, "board_page": 1, "thread_page": 2, "file": 4}
 
 
 def _row(url, kind, path, page, state, ord_):
@@ -28,15 +28,7 @@ def _row(url, kind, path, page, state, ord_):
             "should_retry": 1}
 
 
-def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> dict:
-    body = None
-    for pf in probes:
-        if pf.status == 200 and pf.url.rstrip("/") == base_url.rstrip("/"):
-            body = pf.body
-            break
-    assert body is not None
-    doc = parse_html(body.decode("utf-8", "replace"))
-
+def _board_tree(doc: Node) -> list[tuple[list[str], str, str]]:
     boards: list[tuple[list[str], str, str]] = []
     cat_id = None
     for tr in doc.find_all("tr"):
@@ -49,12 +41,36 @@ def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> di
             bid = _FORUM_ID.match(tr.get("id") or "").group(1)
             a = tr.find("a", class_="forum-title")
             boards.append(([cat_id, bid], a.get("href"), a.string()))
+    return boards
+
+
+def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> dict:
+    if seed_url and seed_url.rstrip("/") != base_url.rstrip("/"):
+        return _seed_via_home(base_url, next_index, probes, seed_url)
+    body = None
+    for pf in probes:
+        if pf.status == 200 and pf.url.rstrip("/") == base_url.rstrip("/"):
+            body = pf.body
+            break
+    assert body is not None
+    boards = _board_tree(parse_html(body.decode("utf-8", "replace")))
 
     dfs_root = f"{next_index:08x}"
+    items, board_ord = _board_items_and_ords(boards, base_url, dfs_root)
+    frontier = []
+    for path, url, title in boards:
+        dfs = child(board_ord[tuple(path)], 0)
+        frontier.append(_row(url, "board_page", path, 1,
+                             {"base": base_url, "dfs": dfs}, dfs))
+    return {"frontier": frontier, "items": items, "evict_probe_urls": [base_url]}
+
+
+def _board_items_and_ords(
+    boards: list[tuple[list[str], str, str]], base_url: str, dfs_root: str
+) -> tuple[list[dict], dict[tuple, str]]:
     items = [_item("board", [], base_url, base_url, dfs_root, title="")]
     board_ord: dict[tuple, str] = {(): dfs_root}
     child_count: dict[tuple, int] = {}
-    frontier = []
     for path, url, title in boards:
         parent = tuple(path[:-1])
         i = child_count.get(parent, 0) + 1
@@ -62,16 +78,110 @@ def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> di
         b_ord = child(board_ord[parent], i)
         board_ord[tuple(path)] = b_ord
         items.append(_item("board", path, url, base_url, b_ord, title=title))
-        dfs = child(b_ord, 0)
-        frontier.append(_row(url, "board_page", path, 1,
-                             {"base": base_url, "dfs": dfs}, dfs))
-    return {"frontier": frontier, "items": items, "evict_probe_urls": [base_url]}
+    return items, board_ord
+
+
+def _seed_via_home(base_url: str, next_index: int, probes: list, seed_url: str) -> dict:
+    """node_from_url seeding below the root (vbulletin.py:294-330): mode is
+    decided from the probe's cached seed page; the homepage (fetch_top_boards)
+    becomes a ``home`` frontier row. vB has NO board prefetch, so only the
+    seeded subtree's pages are ever fetched."""
+    import base64
+
+    pc = next((pf for pf in probes if pf.status == 200 and pf.url == seed_url), None)
+    assert pc is not None, "below-root seed must be among the detection probes"
+    doc = parse_html(bytes(pc.body).decode("utf-8", "replace"))
+    anchors = doc.find_all("a", class_="crumb-link")
+    state: dict[str, str] = {
+        "base": base_url,
+        "pc_url": pc.url,
+        "pc_b64": base64.b64encode(bytes(pc.body)).decode(),
+    }
+    evict: list[str] = []
+    if len(anchors) <= 1:
+        state["mode"] = "root"
+        state["seen_evict"] = "1"  # homepage consumed by the root page-1 read
+    elif doc.find("h2", class_="b-post__title") is not None:
+        state["mode"] = "thread"
+        state["crumbs"] = "\x00".join(a.get("href") or "" for a in anchors)
+        state["tid"] = doc.find("input", attrs={"name": "nodeid"}).get("value")
+        state["title"] = doc.find("h1", class_="main-title").string()
+        evict.append(pc.url)  # thread page 1 consumes the probe cache
+    else:
+        # board matched by the LAST crumb's TITLE (vbulletin.py:324-328)
+        state["mode"] = "board"
+        state["btitle"] = anchors[-1].string()
+        evict.append(pc.url)  # the board's page-1 read consumes it
+    frontier = [
+        {
+            "url": base_url, "params": "", "kind": "home", "path": [],
+            "page": 1, "state": state, "priority": KIND_PRIORITY["home"],
+            "ord": f"{next_index:08x}", "should_retry": 1,
+        }
+    ]
+    return {"frontier": frontier, "items": [], "evict_probe_urls": evict}
+
+
+def _parse_home(row: dict, body: bytes, resp_url: str):
+    base = row["state"]["base"]
+    mode = row["state"]["mode"]
+    boards = _board_tree(parse_html(body.decode("utf-8", "replace")))
+    home_ord = row["ord"]
+    children: list[dict] = []
+
+    if mode == "thread":
+        crumb_urls = (row["state"]["crumbs"] or "").split("\x00")
+        subs_of: dict[tuple, list[tuple[tuple, str]]] = {}
+        for path, url, _t in boards:
+            subs_of.setdefault(tuple(path[:-1]), []).append((tuple(path), url))
+        cur: tuple = ()
+        for cu in crumb_urls[2:]:
+            for p, u in subs_of.get(cur, ()):
+                if u == cu:
+                    cur = p
+        t_path = list(cur) + [row["state"]["tid"]]
+        t_ord = child(home_ord, 0)
+        items = [
+            _item("thread", t_path, row["state"]["pc_url"], row["state"]["pc_url"],
+                  t_ord, title=row["state"]["title"])
+        ]
+        children.append(
+            _row(row["state"]["pc_url"], "thread_page", t_path, 1,
+                 {"base": base, "dfs": child(t_ord, 0),
+                  "cached_body_b64": row["state"]["pc_b64"],
+                  "seen_evict": "1"},
+                 child(t_ord, 0))
+        )
+        return items, children
+
+    dfs_root = child(home_ord, 0)
+    all_items, board_ord = _board_items_and_ords(boards, base, dfs_root)
+    target: tuple | None = None
+    if mode == "board":
+        bt = row["state"]["btitle"]
+        target = next((tuple(p) for p, _u, t in boards if t == bt), None)
+        if target is None:
+            raise ValueError(f"no board titled {bt!r}")
+    keep = lambda p: target is None or tuple(p[: len(target)]) == target
+    items = [it for it in all_items if keep(it["path"])]
+    for path, url, _t in boards:
+        if not keep(path):
+            continue  # never fetched: vB has no prefetch
+        dfs = child(board_ord[tuple(path)], 0)
+        st = {"base": base, "dfs": dfs}
+        if row["state"].get("pc_url") == url:
+            st["cached_body_b64"] = row["state"]["pc_b64"]
+            st["seen_evict"] = "1"
+        children.append(_row(url, "board_page", list(path), 1, st, dfs))
+    return items, children
 
 
 def parse(row: dict, status: int, body: bytes, resp_url: str):
     if status >= 400:
         return [], []
     kind = row["kind"]
+    if kind == "home":
+        return _parse_home(row, body, resp_url)
     if kind == "board_page":
         return _parse_board_page(row, body, resp_url)
     if kind == "thread_page":

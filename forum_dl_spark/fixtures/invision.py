@@ -69,6 +69,32 @@ class SyntheticInvision:
             f'<a href="{BASE}forums/forum-{b}/">Forum {b}</a></h3></div>'
         )
 
+    # detection marker on every page (invision.py:80-93) — base is taken
+    # from the SECOND breadcrumb li's anchor when the list has >=2 entries
+    _IC_ANCHOR = (
+        '<a title="Invision Community" href="https://invisioncommunity.com">IC</a>'
+    )
+
+    def _crumbs(self, cat: int | None, board: int | None = None,
+                topic: int | None = None) -> str:
+        """Breadcrumb list: icon li, home li, then ancestors + self —
+        node_from_url reads li[-2] as the thread's board and treats <=2
+        lis as the root (invision.py:154-185)."""
+        lis = ['<li>icon</li>', f'<li><a href="{BASE}">Forums</a></li>']
+        if cat is not None:
+            lis.append(
+                f'<li><a href="{BASE}forums/cat-{cat}/">Category {cat}</a></li>'
+            )
+        if board is not None:
+            lis.append(
+                f'<li><a href="{BASE}forums/forum-{board}/">Forum {board}</a></li>'
+            )
+        if topic is not None:
+            lis.append(
+                f'<li><a href="{BASE}topic/{topic}-x/">{self.title(topic)}</a></li>'
+            )
+        return f'<ul data-role="breadcrumbList">{"".join(lis)}</ul>'
+
     def get(self, url: str, params: dict | None = None, attempt: int = 0
             ) -> tuple[int, str, bytes]:
         if url in self.fail_urls and attempt < self.fail_urls[url]:
@@ -118,7 +144,9 @@ class SyntheticInvision:
         if c not in self.cat_ids():
             return 404, "text/plain", b"no cat"
         grids = "".join(self._grid(b) for b in self.board_ids(c))
-        return 200, "text/html", f"<html><body>{grids}</body></html>".encode()
+        return 200, "text/html", (
+            f"<html><body>{self._crumbs(c)}{grids}{self._IC_ANCHOR}</body></html>"
+        ).encode()
 
     def _board(self, b: int, page: int) -> tuple[int, str, bytes]:
         if b not in self.all_board_ids():
@@ -137,7 +165,8 @@ class SyntheticInvision:
         if lo + self.topics_per_page < len(tids):
             nxt = f'<link rel="next" href="{BASE}forums/forum-{b}/page/{page + 1}">'
         return 200, "text/html", (
-            f"<html><head>{nxt}</head><body><ul>{rows}</ul></body></html>"
+            f"<html><head>{nxt}</head><body>{self._crumbs(b // 10, b)}"
+            f"<ul>{rows}</ul>{self._IC_ANCHOR}</body></html>"
         ).encode()
 
     def _thread(self, t: int, page: int) -> tuple[int, str, bytes]:
@@ -162,6 +191,11 @@ class SyntheticInvision:
         nxt = ""
         if lo + self.posts_per_page < np:
             nxt = f'<link rel="next" href="{BASE}topic/{t}-x/page/{page + 1}">'
+        b = t // 100
         return 200, "text/html", (
-            f"<html><head>{nxt}</head><body>" + "".join(posts) + "</body></html>"
+            f'<html><head>{nxt}'
+            f'<meta property="og:title" content="{self.title(t)}"></head>'
+            f'<body data-pageid="{t}">{self._crumbs(b // 10, b, t)}'
+            + "".join(posts)
+            + f"{self._IC_ANCHOR}</body></html>"
         ).encode()

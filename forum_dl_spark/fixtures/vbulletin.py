@@ -74,7 +74,11 @@ class SyntheticVbulletin:
         if parts[0] == "forum" and len(parts) == 2:
             kind, _, num = parts[1].partition("-")
             if kind == "cat":
-                return 200, "text/html", b"<html><body>category page</body></html>"
+                c = int(num)
+                return 200, "text/html", (
+                    f"<html>{self._head()}<body>{self._crumbs(c)}"
+                    "category page</body></html>"
+                ).encode()
             if kind == "board":
                 return self._board(int(num), page)
             if kind == "topic":
@@ -83,6 +87,33 @@ class SyntheticVbulletin:
             ctype, body = media_bytes(self.seed, parsed.path)
             return 200, ctype, body
         return 404, "text/plain", b"not found"
+
+    @staticmethod
+    def _head() -> str:
+        # every real vB page carries the generator meta + base href the
+        # detection predicate reads (vbulletin.py:223-233)
+        return (
+            '<head><meta name="generator" content="vBulletin 5.6">'
+            f'<base href="{BASE}"></head>'
+        )
+
+    def _crumbs(self, cat: int | None, board: int | None = None) -> str:
+        """crumb-link trail (home, forums, category[, board]) — the markup
+        _get_node_from_url walks (vbulletin.py:294-330): thread pages end at
+        the board, board pages at themselves; urls[2:] is the walk list."""
+        anchors = [
+            f'<a class="crumb-link" href="{BASE}">Home</a>',
+            f'<a class="crumb-link" href="{BASE}">Forums</a>',
+        ]
+        if cat is not None:
+            anchors.append(
+                f'<a class="crumb-link" href="{BASE}forum/cat-{cat}">Category {cat}</a>'
+            )
+        if board is not None:
+            anchors.append(
+                f'<a class="crumb-link" href="{BASE}forum/board-{board}">Board {board}</a>'
+            )
+        return f'<div class="breadcrumbs">{"".join(anchors)}</div>'
 
     def _homepage(self) -> bytes:
         rows = []
@@ -119,7 +150,10 @@ class SyntheticVbulletin:
         nxt = ""
         if lo + self.topics_per_page < len(tids):
             nxt = f'<a class="right-arrow" href="{BASE}forum/board-{b}?page={page + 1}">&gt;</a>'
-        return 200, "text/html", f"<html><body><table>{rows}</table>{nxt}</body></html>".encode()
+        return 200, "text/html", (
+            f"<html>{self._head()}<body>{self._crumbs(b // 10, b)}"
+            f"<table>{rows}</table>{nxt}</body></html>"
+        ).encode()
 
     def _thread(self, t: int, page: int) -> tuple[int, str, bytes]:
         if t // 100 not in self.all_board_ids():
@@ -148,6 +182,11 @@ class SyntheticVbulletin:
         nxt = ""
         if lo + self.posts_per_page < np:
             nxt = f'<a class="right-arrow" href="{BASE}forum/topic-{t}?page={page + 1}">&gt;</a>'
+        b = t // 100
         return 200, "text/html", (
-            "<html><body><ul>" + "".join(posts) + f"</ul>{nxt}</body></html>"
+            f"<html>{self._head()}<body>{self._crumbs(b // 10, b)}"
+            f'<h1 class="main-title">{self.title(t)}</h1>'
+            f'<h2 class="b-post__title">{self.title(t)}</h2>'
+            f'<input name="nodeid" value="{t}">'
+            "<ul>" + "".join(posts) + f"</ul>{nxt}</body></html>"
         ).encode()

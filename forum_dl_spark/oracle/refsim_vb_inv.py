@@ -141,6 +141,15 @@ class _HtmlSimBase:
                 pass
         self.items.append(item)
 
+    # writers/common.py:72-80 + 124-129 — write(url) thread branch
+    def write_thread(self, thread: OracleItem) -> None:
+        self.items.append(thread)
+        for post_or_file, ref in self.thread_items(thread):
+            if post_or_file.type == "post":
+                self.items.append(post_or_file)
+            else:
+                self.write_file(post_or_file, ref)
+
     def write_board(self, board: _Board) -> None:
         self.items.append(
             OracleItem(type="board", path=board.path, url=board.url,
@@ -186,6 +195,35 @@ class _VbSim(_HtmlSimBase):
                            origin=resp.url, title=a.string())
                 cat.subboards[bid] = b
                 self.boards.append(b)
+
+    # vbulletin.py:294-330 — _get_node_from_url; vB's _fetch_lower_boards
+    # is fetch-wise a no-op (all boards register from the homepage)
+    def node_from_url(self, url: str):
+        resp = self.session.get(url, should_cache=True)
+        doc = parse_html(resp.body.decode("utf-8", "replace"))
+        anchors = doc.find_all("a", class_="crumb-link")
+        if len(anchors) <= 1:
+            return self.root
+        if doc.find("h2", class_="b-post__title") is not None:
+            crumb_urls = [a.get("href") for a in anchors]
+            cur = self.root
+            for cu in crumb_urls[2:]:
+                for sub in cur.subboards.values():
+                    if sub.url == cu:
+                        cur = sub
+            tid = doc.find("input", attrs={"name": "nodeid"}).get("value")
+            title = doc.find("h1", class_="main-title").string()
+            return OracleItem(
+                type="thread", path=cur.path + (tid,),
+                url=urljoin(self.base_url, url), origin=resp.url,
+                title=title, data={},
+            )
+        # board: matched by the LAST crumb's TITLE (vbulletin.py:324-328)
+        btitle = anchors[-1].string()
+        for b in self.boards:
+            if b.title == btitle:
+                return b
+        raise ValueError(f"no board titled {btitle!r}")
 
     def next_href(self, doc: Node) -> str | None:
         for n in doc.iter():
@@ -237,8 +275,14 @@ def run_reference_vbulletin(server, seed_url: str, retries: int = 4) -> OracleRe
 
     sim = _VbSim(session, base)
     sim.fetch_top_boards()
-    session.try_get(seed_url, should_cache=True)  # node_from_url → root
-    sim.write_board(sim.root)
+    # writers/common.py:72-80: homepage (<=1 crumb-link) → root; board page
+    # (last crumb TITLE match) → that subtree; topic page (b-post__title +
+    # nodeid input) → just that thread
+    node = sim.node_from_url(seed_url)
+    if isinstance(node, _Board):
+        sim.write_board(node)
+    else:
+        sim.write_thread(node)
     return OracleResult(base_url=base, trace=list(session.trace),
                         seen=session.seen(), items=sim.items)
 
@@ -294,6 +338,31 @@ class _InvSim(_HtmlSimBase):
                     b.subboards[sid] = nb
                     self.boards.append(nb)
 
+    # invision.py:154-185 — _get_node_from_url; all boards are already
+    # registered+prefetched by fetch_top_boards, so no further fetches
+    def node_from_url(self, url: str):
+        resp = self.session.get(url, should_cache=True)
+        doc = parse_html(resp.body.decode("utf-8", "replace"))
+        bl = doc.find("ul", attrs={"data-role": "breadcrumbList"})
+        lis = bl.find_all("li")
+        if len(lis) <= 2:
+            return self.root
+        if doc.find("article") is not None:
+            board_href = lis[-2].find("a").get("href")
+            tid = doc.find("body").get("data-pageid")
+            title = doc.find("meta", attrs={"property": "og:title"}).get("content")
+            for b in self.boards:
+                if b.url == board_href:
+                    return OracleItem(
+                        type="thread", path=b.path + (tid,), url=url,
+                        origin=resp.url, title=str(title), data={},
+                    )
+            raise ValueError(f"thread board {board_href!r} not registered")
+        for b in self.boards:
+            if b.url == url:
+                return b
+        raise ValueError(f"no board with url {url!r}")
+
     def next_href(self, doc: Node) -> str | None:
         ln = doc.find("link", attrs={"rel": "next"})
         return ln.get("href") if ln is not None else None
@@ -345,7 +414,13 @@ def run_reference_invision(server, seed_url: str, retries: int = 4) -> OracleRes
 
     sim = _InvSim(session, base)
     sim.fetch_top_boards()
-    session.try_get(seed_url, should_cache=True)  # node_from_url → root
-    sim.write_board(sim.root)
+    # writers/common.py:72-80: homepage (<=2 crumb lis) → root; board page
+    # (url match in _boards) → that subtree; topic page (article +
+    # data-pageid) → just that thread
+    node = sim.node_from_url(seed_url)
+    if isinstance(node, _Board):
+        sim.write_board(node)
+    else:
+        sim.write_thread(node)
     return OracleResult(base_url=base, trace=list(session.trace),
                         seen=session.seen(), items=sim.items)
