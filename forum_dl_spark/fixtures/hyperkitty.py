@@ -1,5 +1,11 @@
 """Synthetic HyperKitty archive — per forum_dl/extractors/hyperkitty.py:
 
+- ``/`` (and ``/?page=N``) archive index: ``a.list-name`` anchors (one per
+  list, href ``list/{id}/``) + ``a.page-link`` pagination where the LAST
+  anchor's href chains the walk and ``#`` terminates it
+  (``_fetch_lazy_subboards``, hyperkitty.py:182-201 — the reference indexes
+  ``page_link_anchors[-1]`` unconditionally, so even a single-page index
+  must carry the widget);
 - ``/list/{id}/`` list page: footer "HyperKitty" link + ``a.navbar-brand``
   (detection, hyperkitty.py:108-122), ``section#title h1`` board title
   (hyperkitty.py:160-179);
@@ -35,11 +41,12 @@ class SyntheticHyperkitty:
 
     def __init__(self, seed: int = 42, lists: tuple[str, ...] = ("mylist.example",),
                  n_threads: int = 3, max_replies: int = 5,
-                 threads_per_page: int = 2,
+                 threads_per_page: int = 2, lists_per_page: int = 2,
                  fail_urls: dict[str, int] | None = None,
                  postorius: bool = False) -> None:
         self.seed = seed
         self.lists = lists
+        self.lists_per_page = lists_per_page
         self.n_threads = n_threads
         self.max_replies = max_replies
         self.threads_per_page = threads_per_page
@@ -95,6 +102,8 @@ class SyntheticHyperkitty:
             return 404, "text/plain", b"wrong host"
         parts = [p for p in parsed.path.split("/") if p]
         q = parse_qs(parsed.query)
+        if not parts:
+            return 200, "text/html", self._index(int(q.get("page", ["1"])[0]))
         if len(parts) >= 2 and parts[0] == "list" and parts[1] in self.lists:
             lid = parts[1]
             if len(parts) == 2:
@@ -112,23 +121,42 @@ class SyntheticHyperkitty:
                     return 200, "application/json", self._replies(tid, off)
         return 404, "text/plain", b"not found"
 
-    def _list_page(self, lid: str) -> bytes:
+    def _nav(self) -> str:
         if self.postorius:
-            return (
-                "<html><head><title>List</title></head><body>"
-                '<nav><a class="nav-link" href="/accounts/">Account</a>'
-                '<a class="nav-link" href="/">Archives</a></nav>'
-                f'<section id="title"><h1>{lid} archive</h1></section>'
-                '<footer><a href="https://docs.mailman3.org">'
-                "Postorius Documentation</a></footer>"
-                "</body></html>"
-            ).encode()
+            return ('<nav><a class="nav-link" href="/accounts/">Account</a>'
+                    '<a class="nav-link" href="/">Archives</a></nav>')
+        return '<nav><a class="navbar-brand" href="/">HK</a></nav>'
+
+    def _footer(self) -> str:
+        if self.postorius:
+            return ('<footer><a href="https://docs.mailman3.org">'
+                    "Postorius Documentation</a></footer>")
+        return ('<footer><a href="https://hyperkitty.rtfd.org">'
+                "HyperKitty</a></footer>")
+
+    def _list_page(self, lid: str) -> bytes:
         return (
             "<html><head><title>List</title></head><body>"
-            f'<nav><a class="navbar-brand" href="/">HK</a></nav>'
-            f'<section id="title"><h1>{lid} archive</h1></section>'
-            '<footer><a href="https://hyperkitty.rtfd.org">HyperKitty</a></footer>'
-            "</body></html>"
+            + self._nav()
+            + f'<section id="title"><h1>{lid} archive</h1></section>'
+            + self._footer()
+            + "</body></html>"
+        ).encode()
+
+    def _index(self, page: int) -> bytes:
+        lo = (page - 1) * self.lists_per_page
+        chunk = self.lists[lo : lo + self.lists_per_page]
+        anchors = "".join(
+            f'<a class="list-name" href="list/{lid}/">{lid}</a>' for lid in chunk
+        )
+        n_pages = max(1, (len(self.lists) + self.lists_per_page - 1)
+                      // self.lists_per_page)
+        nums = "".join(f'<a class="page-link">{p}</a>' for p in range(1, n_pages + 1))
+        nxt = "#" if page >= n_pages else f"?page={page + 1}"
+        links = f'<div>{nums}<a class="page-link" href="{nxt}">Next</a></div>'
+        return (
+            "<html><head><title>Archives</title></head><body>"
+            + self._nav() + anchors + links + self._footer() + "</body></html>"
         ).encode()
 
     def _latest(self, lid: str, page: int) -> bytes:
@@ -147,10 +175,13 @@ class SyntheticHyperkitty:
         return f"<html><body>{anchors}{links}</body></html>".encode()
 
     def _thread(self, lid: str, tid: str) -> bytes:
+        # thread pages carry the site chrome (real installs do) so a
+        # thread-URL seed is detectable by the cascade
         return (
-            "<html><body>"
-            f'<div class="thread-header"><h3>{self.subject(tid)}</h3></div>'
+            "<html><body>" + self._nav()
+            + f'<div class="thread-header"><h3>{self.subject(tid)}</h3></div>'
             + self._email_block(f"{tid}R0", None)
+            + self._footer()
             + "</body></html>"
         ).encode()
 

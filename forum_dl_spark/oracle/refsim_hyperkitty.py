@@ -67,6 +67,29 @@ class _HkSim:
         return OracleItem(type="board", path=(list_id,), url=url,
                           origin=resp.url, title=title)
 
+    def fetch_lazy_subboards(self) -> list[OracleItem]:
+        """The root-seed registration walk (hyperkitty.py:182-201): paginate
+        the archive index from ``base_url`` (``page_link_anchors[-1]``'s
+        href chains it, ``#`` terminates), fetching every ``list/<id>``
+        page en route. All reads are ``should_cache`` — the per-subboard
+        re-walks the writer triggers later are pure cache hits."""
+        from pathlib import PurePosixPath
+        from urllib.parse import urlparse
+
+        boards: list[OracleItem] = []
+        href = ""
+        url = self.base_url
+        while href != "#":
+            resp = self.session.get(url, should_cache=True)
+            doc = parse_html(resp.body.decode("utf-8", "replace"))
+            for a in doc.find_all("a", class_="list-name"):
+                lid = PurePosixPath(urlparse(a.get("href")).path).parts[-1]
+                boards.append(self.lazy_subboard(lid))
+            page_links = doc.find_all("a", class_="page-link")
+            href = page_links[-1].get("href")
+            url = urljoin(self.base_url, href)
+        return boards
+
     def board_threads(self, board: OracleItem):
         try:
             state_url = urljoin(board.url, "latest")
@@ -153,6 +176,13 @@ class _HkSim:
 
 
 def run_reference_hyperkitty(server, seed_url: str, retries: int = 4) -> OracleResult:
+    """Mirrors ``forumdl.download_url``: detect → ``fetch()`` (a no-op,
+    ``_fetch_top_boards`` is ``pass``) → ``writer.write(seed)`` →
+    ``node_from_url`` (hyperkitty.py:130-158) dispatching root / thread /
+    list, then the writer walk (writers/common.py:72-130)."""
+    from pathlib import PurePosixPath
+    from urllib.parse import urlparse
+
     session = OracleSession(server=server, retries=retries)
     resp = session.try_get(
         normalize_url(seed_url, append_slash=False), should_cache=True,
@@ -167,12 +197,45 @@ def run_reference_hyperkitty(server, seed_url: str, retries: int = 4) -> OracleR
     base = normalize_url(urljoin(seed_url, brand.get("href")))
 
     sim = _HkSim(session, base)
-    # node_from_url: raw seed fetch, then lazy subboard (cache hit)
-    session.try_get(seed_url, should_cache=True)
-    from pathlib import PurePosixPath
-    from urllib.parse import urlparse
+    # node_from_url: _get_node_from_url fetches the RAW seed
+    # (_resolve_url is the identity, common.py:246-247)
+    node_resp = session.try_get(seed_url, should_cache=True)
+    resolved = normalize_url(node_resp.url)
+    parts = PurePosixPath(urlparse(resolved).path).parts
 
-    list_id = PurePosixPath(urlparse(normalize_url(seed_url)).path).parts[-1]
+    if resolved == base:
+        # root: write_board(root) — root board object, no root threads
+        # (hyperkitty.py:211-212), then the _fetch_lazy_subboards index
+        # walk registers every list, then each board is written in
+        # registration order (writers/common.py:101-108)
+        sim.items.append(OracleItem(type="board", path=(), url=base,
+                                    origin=base, title=""))
+        boards = sim.fetch_lazy_subboards()
+        for board in boards:
+            sim.items.append(board)
+            for thread in sim.board_threads(board):
+                sim.items.append(thread)
+                for post in sim.thread_posts(thread):
+                    sim.items.append(post)
+        return OracleResult(base_url=base, trace=list(session.trace),
+                            seen=session.seen(), items=sim.items)
+
+    if len(parts) >= 4 and parts[-2] == "thread":
+        # thread node (hyperkitty.py:138-153): title from thread-header
+        # h3; write_thread only — no board objects
+        ndoc = parse_html(node_resp.body.decode("utf-8", "replace"))
+        h3 = ndoc.find("div", class_="thread-header").find("h3")
+        thread = OracleItem(type="thread", path=(parts[-3], parts[-1]),
+                            url=resolved, origin=resolved, title=h3.string())
+        sim.items.append(thread)
+        for post in sim.thread_posts(thread):
+            sim.items.append(post)
+        return OracleResult(base_url=base, trace=list(session.trace),
+                            seen=session.seen(), items=sim.items)
+
+    # list seed: find_board → lazy subboard fetch (cache hit on the node
+    # fetch's slash-normalized key)
+    list_id = parts[-1]
     board = sim.lazy_subboard(list_id)
     sim.items.append(board)
     for thread in sim.board_threads(board):
