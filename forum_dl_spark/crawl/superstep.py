@@ -987,7 +987,17 @@ def _loop(
         if budgets_df is not None:
             candidates = apply_robots(candidates, budgets_df)
         seen_sofar = _read_seen_sofar(spark, wd, step)
-        seen_all = seen_sofar.select("seen_key").union(seen_delta.select("seen_key"))
+        # evicted keys do NOT gate: a one-shot cache consume deletes the
+        # entry WITHOUT recording a past request (session.py:105-111 vs
+        # 145-148), so the reference will fetch such a key once more (e.g.
+        # a pipermail thread.html seed: the consumed period page is
+        # re-fetched by the first thread's posts read). A later real fetch
+        # writes an evict=0 record for the same key, which gates again.
+        seen_all = (
+            seen_sofar.filter(F.col("evict") == 0)
+            .select("seen_key")
+            .union(seen_delta.filter(F.col("evict") == 0).select("seen_key"))
+        )
         use_bloom = (
             config.use_bloom
             if config.use_bloom is not None

@@ -33,8 +33,8 @@ from ..urls import normalize_url
 from .discourse import _item
 from .ordkey import child
 
-KIND_PRIORITY = {"pm_listinfo": 0, "pm_index": 1, "pm_period": 1,
-                 "pm_thread": 2, "pm_post": 3}
+KIND_PRIORITY = {"pm_root_index": 0, "pm_listinfo": 0, "pm_index": 1,
+                 "pm_period": 1, "pm_thread": 2, "pm_post": 3}
 
 
 def _row(url, kind, path, page, state, ord_):
@@ -44,12 +44,22 @@ def _row(url, kind, path, page, state, ord_):
 
 
 def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> dict:
+    """``_get_node_from_url`` dispatch (pipermail.py:120-164), branch order
+    preserved: base → thread/thread.html under a pipermail period → period
+    URL → mailman/listinfo/<list> → pipermail/<list> → any other 2+-part
+    path falls back to the ROOT crawl. The node fetch of the raw seed is
+    always a cache hit on pipermail's own detection probe (same raw key,
+    pipermail.py:64, 121)."""
     probe_key = normalize_url(seed_url, append_slash=False)
     probe_body = b""
     for pf in probes:
         if pf.url == probe_key and pf.status == 200:
             probe_body = pf.body
-    parts = PurePosixPath(urlparse(normalize_url(seed_url)).path).parts
+    resolved = normalize_url(seed_url)
+    parts = PurePosixPath(urlparse(resolved).path).parts
+
+    if resolved == base_url:
+        return _seed_root(base_url, next_index)
 
     if len(parts) >= 4 and parts[-4] == "pipermail" and parts[-1] != "thread.html":
         # thread-seed mode
@@ -69,26 +79,66 @@ def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> di
         return {"frontier": frontier, "items": items,
                 "evict_probe_urls": [probe_key]}
 
-    # board (list) seed mode: the archive index IS the probed seed page —
-    # the reference's index read is a one-shot cache hit (no trace row)
-    list_id = parts[-1]
-    li_url = normalize_url(urljoin(base_url, f"mailman/listinfo/{list_id}"))
+    if len(parts) >= 4 and parts[-4] == "pipermail":
+        # thread.html seed → its board; the board crawl's read of this
+        # very period page is a one-shot cache hit on the probe
+        list_id = parts[-3]
+        evict = [probe_key]
+    elif len(parts) >= 3 and parts[-3] == "pipermail":
+        # period URL seed → its board; probe never re-read (stays seen)
+        list_id = parts[-2]
+        evict = []
+    elif len(parts) >= 3 and parts[-3] == "mailman" and parts[-2] == "listinfo":
+        # listinfo URL seed → that list; the registration fetch uses the
+        # slash-normalized key, so the probe stays cached
+        list_id = parts[-1]
+        evict = []
+    elif len(parts) >= 2 and parts[-2] == "pipermail":
+        # archive-index seed: the board crawl's index read IS the probed
+        # page — a one-shot cache hit (no trace row)
+        list_id = parts[-1]
+        evict = [probe_key]
+    elif len(parts) >= 2:
+        # any other path falls back to the root (pipermail.py:162)
+        return _seed_root(base_url, next_index)
+    else:
+        raise ValueError(f"pipermail node_from_url: unresolvable {seed_url}")
+
+    li_url = normalize_url(
+        urljoin(base_url, f"mailman/listinfo/{list_id.replace('@', '_')}")
+    )
+    st = {"base": base_url, "list": list_id,
+          "dfs_root": f"{next_index + 1:08x}",
+          "cached_url": probe_key,
+          "cached_b64": base64.b64encode(probe_body).decode()}
+    if li_url == probe_key:
+        st["cached_body_b64"] = st["cached_b64"]
     frontier = [
-        _row(li_url, "pm_listinfo", [list_id], 1,
-             {"base": base_url, "list": list_id,
-              "dfs_root": f"{next_index + 1:08x}",
-              "cached_url": probe_key,
-              "cached_b64": base64.b64encode(probe_body).decode()},
-             f"{next_index:08x}")
+        _row(li_url, "pm_listinfo", [list_id], 1, st, f"{next_index:08x}")
     ]
-    return {"frontier": frontier, "items": [],
-            "evict_probe_urls": [probe_key]}
+    return {"frontier": frontier, "items": [], "evict_probe_urls": evict}
+
+
+def _seed_root(base_url: str, next_index: int) -> dict:
+    """Root crawl: write_board(root) → no root threads (pipermail.py:199-
+    200), then the ``_fetch_lazy_subboards`` registration walk (one
+    ``mailman/listinfo/`` index fetch + one listinfo page per list,
+    pipermail.py:186-197), then each board written in registration order."""
+    a_ord = f"{next_index:08x}"
+    b_ord = f"{next_index + 1:08x}"
+    reg_url = normalize_url(urljoin(base_url, "mailman/listinfo"))
+    rows = [_row(reg_url, "pm_root_index", [], 1,
+                 {"base": base_url, "b_ord": b_ord}, a_ord)]
+    items = [_item("board", [], base_url, base_url, b_ord, title="")]
+    return {"frontier": rows, "items": items}
 
 
 def parse(row: dict, status: int, body: bytes, resp_url: str):
     if status >= 400:
         return [], []
     kind = row["kind"]
+    if kind == "pm_root_index":
+        return _parse_root_index(row, body, resp_url)
     if kind == "pm_listinfo":
         return _parse_listinfo(row, body, resp_url)
     if kind == "pm_index":
@@ -102,6 +152,37 @@ def parse(row: dict, status: int, body: bytes, resp_url: str):
     raise ValueError(f"unknown kind {kind}")
 
 
+_LISTINFO_HREF = re.compile(r"^listinfo/(.+)$")
+
+
+def _parse_root_index(row, body, resp_url):
+    """The ``_fetch_lazy_subboards`` registry page (pipermail.py:186-197):
+    one listinfo-page registration fetch per ``listinfo/<id>`` anchor, in
+    anchor order. Registration trace ords chain under this row; each
+    board's subtree gets an item-phase ord under ``b_ord`` so every
+    registration fetch sorts before every board-crawl fetch."""
+    base = row["state"]["base"]
+    b_ord = row["state"]["b_ord"]
+    doc = parse_html(body.decode("utf-8", "replace"))
+    children = []
+    i = 0
+    for a in doc.find_all("a"):
+        m = _LISTINFO_HREF.match(a.get("href") or "")
+        if not m:
+            continue
+        list_id = m.group(1)
+        li_url = normalize_url(
+            urljoin(base, f"mailman/listinfo/{list_id.replace('@', '_')}")
+        )
+        children.append(
+            _row(li_url, "pm_listinfo", [list_id], 1,
+                 {"base": base, "list": list_id, "dfs_root": child(b_ord, i)},
+                 child(row["ord"], i))
+        )
+        i += 1
+    return [], children
+
+
 def _parse_listinfo(row, body, resp_url):
     base = row["state"]["base"]
     list_id = row["state"]["list"]
@@ -111,6 +192,9 @@ def _parse_listinfo(row, body, resp_url):
     items = [_item("board", [list_id], row["url"], resp_url, dfs_root, title=title)]
     idx_url = urljoin(base, f"pipermail/{list_id}")
     st = {"base": base, "list": list_id}
+    if "cached_url" in row["state"]:
+        st["cached_url"] = row["state"]["cached_url"]
+        st["cached_b64"] = row["state"].get("cached_b64", "")
     if idx_url == row["state"].get("cached_url"):
         st["cached_body_b64"] = row["state"].get("cached_b64", "")
     children = [_row(idx_url, "pm_index", [list_id], 1, st, child(dfs_root, 0))]
@@ -127,6 +211,13 @@ def _parse_index(row, body, resp_url):
         return [], []
     url = urljoin(urljoin(base, f"pipermail/{list_id}/"), rel[0])
     state = {"base": base, "list": list_id, "periods": ";".join(rel[1:])}
+    if "cached_url" in row["state"]:
+        state["cached_url"] = row["state"]["cached_url"]
+        state["cached_b64"] = row["state"].get("cached_b64", "")
+        if url == state["cached_url"]:
+            # a thread.html seed: this period read is a one-shot cache
+            # hit on the probed page (session.py:105-111)
+            state["cached_body_b64"] = state["cached_b64"]
     return [], [_row(url, "pm_period", [list_id], row["page"] + 1, state,
                      child(row["ord"], 0))]
 
@@ -163,10 +254,15 @@ def _parse_period(row, body, resp_url):
     remaining = [p for p in row["state"].get("periods", "").split(";") if p]
     if remaining:
         url = urljoin(urljoin(base, f"pipermail/{list_id}/"), remaining[0])
+        nstate = {"base": base, "list": list_id,
+                  "periods": ";".join(remaining[1:])}
+        if "cached_url" in row["state"]:
+            nstate["cached_url"] = row["state"]["cached_url"]
+            nstate["cached_b64"] = row["state"].get("cached_b64", "")
+            if url == nstate["cached_url"]:
+                nstate["cached_body_b64"] = nstate["cached_b64"]
         children.append(
-            _row(url, "pm_period", [list_id], row["page"] + 1,
-                 {"base": base, "list": list_id,
-                  "periods": ";".join(remaining[1:])},
+            _row(url, "pm_period", [list_id], row["page"] + 1, nstate,
                  child(row["ord"], idx))
         )
     return items, children

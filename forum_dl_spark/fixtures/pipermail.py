@@ -97,6 +97,14 @@ class SyntheticPipermail:
         if parts[:1] == ["pipermail"] and len(parts) >= 2 and parts[1] in self.lists:
             if len(parts) == 2:
                 return 200, "text/html", self._index()
+            if len(parts) == 3 and parts[2] in self.periods():
+                # bare period directory (real archives serve an index
+                # listing here); seeding it resolves to the BOARD
+                return 200, "text/html", (
+                    f"<html><head><title>{parts[2]} directory</title></head>"
+                    '<body><a href="thread.html">Thread</a>'
+                    '<a href="date.html">Date</a></body></html>'
+                ).encode()
             if len(parts) == 4 and parts[3] == "thread.html" and parts[2] in self.periods():
                 return 200, "text/html", self._thread_page(parts[2])
             if len(parts) == 4 and parts[3].endswith(".html"):

@@ -48,6 +48,7 @@ _POST_HREF = re.compile(r"^(\d+).html$")
 _ROOT_COMMENT = re.compile(r"^0 ([^-]+)- $")
 _CHILD_COMMENT = re.compile(r"^(1|2|3) ([^-]+)-(.*?)-? $")
 _LISTINFO_TITLE = re.compile(r"^(.+) Info Page$")
+_LISTINFO_HREF = re.compile(r"^listinfo/(.+)$")
 QUOTE_SUB = (r"><i>(.*?\n)</i>", r">\1")
 
 
@@ -80,12 +81,29 @@ class _PmSim:
         self.items: list[OracleItem] = []
 
     def fetch_lazy_subboard(self, list_id: str) -> OracleItem:
-        url = normalize_url(urljoin(self.base_url, f"mailman/listinfo/{list_id}"))
+        # pipermail.py:166-184: nice_id replaces '@' with '_' in the URL;
+        # the board PATH keeps the raw id
+        nice_id = list_id.replace("@", "_")
+        url = normalize_url(urljoin(self.base_url, f"mailman/listinfo/{nice_id}"))
         resp = self.session.get(url, should_cache=True)
         doc = parse_html(resp.body.decode("utf-8", "replace"))
         title = _LISTINFO_TITLE.match(doc.find("title").string()).group(1)
         return OracleItem(type="board", path=(list_id,), url=url,
                           origin=resp.url, title=title)
+
+    def fetch_lazy_subboards(self) -> list[OracleItem]:
+        """Root-seed registration walk (pipermail.py:186-197): one fetch of
+        the ``mailman/listinfo`` registry, then one listinfo page per
+        ``listinfo/<id>`` anchor, in anchor order."""
+        url = normalize_url(urljoin(self.base_url, "mailman/listinfo"))
+        resp = self.session.get(url, should_cache=True)
+        doc = parse_html(resp.body.decode("utf-8", "replace"))
+        boards: list[OracleItem] = []
+        for a in doc.find_all("a"):
+            m = _LISTINFO_HREF.match(a.get("href") or "")
+            if m:
+                boards.append(self.fetch_lazy_subboard(m.group(1)))
+        return boards
 
     # pipermail.py:199-263
     def board_threads(self, board: OracleItem):
@@ -198,11 +216,25 @@ def run_reference_pipermail(server, seed_url: str, retries: int = 4) -> OracleRe
     assert base is not None
     sim = _PmSim(session, base)
 
-    # node_from_url (pipermail.py:120-163)
+    def write_board(board: OracleItem):
+        sim.items.append(board)
+        for thread in sim.board_threads(board):
+            sim.items.append(thread)
+            for post in sim.thread_posts(thread):
+                sim.items.append(post)
+
+    # node_from_url (pipermail.py:120-164), branch order preserved
     r = session.try_get(seed_url, should_cache=True)
     normalized = normalize_url(r.url)
     parts = PurePosixPath(urlparse(normalized).path).parts
-    if len(parts) >= 4 and parts[-4] == "pipermail" and parts[-1] != "thread.html":
+    if normalized == base:
+        # root: root board object, no root threads (pipermail.py:199-200),
+        # then the registration walk, then each board in registration order
+        sim.items.append(OracleItem(type="board", path=(), url=base,
+                                    origin=base, title=""))
+        for board in sim.fetch_lazy_subboards():
+            write_board(board)
+    elif len(parts) >= 4 and parts[-4] == "pipermail" and parts[-1] != "thread.html":
         tid = parts[-1].removesuffix(".html")
         doc = parse_html(r.body.decode("utf-8", "replace"))
         thread = OracleItem(
@@ -212,13 +244,21 @@ def run_reference_pipermail(server, seed_url: str, retries: int = 4) -> OracleRe
         sim.items.append(thread)
         for post in sim.thread_posts(thread):
             sim.items.append(post)
+    elif len(parts) >= 4 and parts[-4] == "pipermail":
+        write_board(sim.fetch_lazy_subboard(parts[-3]))  # thread.html seed
+    elif len(parts) >= 3 and parts[-3] == "pipermail":
+        write_board(sim.fetch_lazy_subboard(parts[-2]))  # period URL seed
+    elif len(parts) >= 3 and parts[-3] == "mailman" and parts[-2] == "listinfo":
+        write_board(sim.fetch_lazy_subboard(parts[-1]))  # listinfo URL seed
+    elif len(parts) >= 2 and parts[-2] == "pipermail":
+        write_board(sim.fetch_lazy_subboard(parts[-1]))  # archive-index seed
+    elif len(parts) >= 2:
+        # any other 2+-part path falls back to the root (pipermail.py:162)
+        sim.items.append(OracleItem(type="board", path=(), url=base,
+                                    origin=base, title=""))
+        for board in sim.fetch_lazy_subboards():
+            write_board(board)
     else:
-        list_id = parts[-1]
-        board = sim.fetch_lazy_subboard(list_id)
-        sim.items.append(board)
-        for thread in sim.board_threads(board):
-            sim.items.append(thread)
-            for post in sim.thread_posts(thread):
-                sim.items.append(post)
+        raise ValueError(f"pipermail node_from_url: unresolvable {seed_url}")
     return OracleResult(base_url=base, trace=list(session.trace),
                         seen=session.seen(), items=sim.items)
