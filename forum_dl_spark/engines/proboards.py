@@ -39,6 +39,26 @@ def _row(url, kind, path, page, state, ord_):
 
 
 def seed(base_url: str, next_index: int, probes: list, seed_url: str = "") -> dict:
+    # subtree seeding is unsupported by the REFERENCE itself
+    # (proboards.py:283-322): at node_from_url time only the root and the
+    # category stubs are registered (proboards.py:211-236), so the thread
+    # branch's breadcrumb board-URL match can never succeed, and the board
+    # branch compares cur_board.path[-1] against the literal string
+    # "board" (proboards.py:317-318) — starting with root's EMPTY path
+    # (IndexError). Any non-root seed crashes the reference; mirror that
+    # with a clear error.
+    from pathlib import PurePosixPath
+    from urllib.parse import urlparse
+
+    if seed_url:
+        parts = PurePosixPath(urlparse(seed_url).path).parts
+        if len(parts) > 1:
+            raise ValueError(
+                "proboards supports only root seeds: the reference's "
+                "node_from_url cannot resolve board or thread URLs "
+                "(proboards.py:283-322 — boards are unregistered at node "
+                "time and the board branch matches the literal 'board')"
+            )
     # the pre-proboards probes already fetched the homepage; fetch_top_boards
     # is a cache hit (one-shot evicted later by the root page read)
     import base64

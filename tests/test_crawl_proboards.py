@@ -43,3 +43,23 @@ def test_proboards(spark, tmp_path):
     assert any(i.author == "" for i in oracle.items if i.type == "post")
     # the /threads/recent link never becomes a thread
     assert not any(i.path[-1] == "0" for i in oracle.items if i.type == "thread")
+
+
+def test_subtree_seed_unsupported(spark, tmp_path):
+    """The reference cannot resolve proboards board/thread seed URLs
+    (node_from_url, proboards.py:283-322): only the root and category
+    stubs are registered when it runs, so the thread branch's board-URL
+    match never succeeds and the board branch compares path[-1] against
+    the literal 'board' (crashing on root's empty path). A non-root seed
+    must fail loudly, not silently crawl the whole site."""
+    import pytest as _pytest
+
+    from forum_dl_spark.fixtures.proboards import SyntheticProboards
+
+    srv = SyntheticProboards(seed=42)
+    with _pytest.raises(ValueError, match="only root seeds"):
+        run_crawl(spark, srv, "https://synth.proboards.com/thread/1/x",
+                  str(tmp_path / "pb_thread"), CrawlConfig())
+    with _pytest.raises(ValueError, match="only root seeds"):
+        run_crawl(spark, srv, "https://synth.proboards.com/board/2/general",
+                  str(tmp_path / "pb_board"), CrawlConfig())
