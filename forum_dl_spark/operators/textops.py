@@ -195,12 +195,124 @@ FROM (
 """
 
 
+# --- benchmark contamination ------------------------------------------------
+
+_CONTAM_N = 8           # word n-gram size (13-gram is typical at prod scale;
+                        # 8 keeps the synthetic fixture non-vacuous)
+_CONTAM_MOD = 7         # deterministic benchmark split: doc_id % 7 == 2
+_CONTAM_RES = 2
+
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents sharing
+    any word ``n``-gram with a held-out benchmark set (the standard
+    n-gram-overlap decontamination check for LLM training corpora).
+
+    Scale shape: the benchmark side is small by construction, so its
+    distinct shingle set is BROADCAST — the big training side streams
+    through a map-side hash join with no shuffle; the only wide stages are
+    the benchmark distinct and the final per-doc aggregate. At 100 TB the
+    broadcast becomes a bloom filter over benchmark shingles with an exact
+    re-check on the survivors."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.expr(r"filter(split(text, '\\s+'), x -> x != '')").alias("t")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"case when size(t) < {_CONTAM_N} "
+                f"then cast(array() as array<string>) "
+                f"else transform(sequence(1, size(t) - {_CONTAM_N} + 1), "
+                f"i -> concat_ws(' ', slice(t, i, {_CONTAM_N}))) end"
+            )
+        ).alias("s"),
+    )
+    is_bench = F.col("doc_id") % _CONTAM_MOD == _CONTAM_RES
+    bench = sh.filter(is_bench).select("s").distinct()
+    return (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_hits"))
+    )
+
+
+CONTAMINATION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < {_CONTAM_N} THEN []
+                ELSE list_transform(generate_series(1, len(t) - {_CONTAM_N} + 1),
+                     i -> array_to_string(list_slice(t, i, i + {_CONTAM_N} - 1), ' '))
+                END) AS s
+  FROM toks
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {_CONTAM_MOD} = {_CONTAM_RES}
+)
+SELECT sh.doc_id, CAST(count(DISTINCT sh.s) AS BIGINT) AS n_hits
+FROM sh JOIN bench USING (s)
+WHERE sh.doc_id % {_CONTAM_MOD} <> {_CONTAM_RES}
+GROUP BY sh.doc_id
+"""
+
+
+# --- per-source quality rollup ----------------------------------------------
+
+
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus rollup: per (source, lang) document counts, token
+    totals, mean length, and the share passing a keep-filter
+    (alpha-ratio ≥ 0.55 and ≥ 100 chars).
+
+    Determinism note: every aggregate is an exact BIGINT sum; ratios are a
+    single division of two exact integers, so the result is bit-stable
+    across partitionings (no floating-point accumulation order). One
+    map-side-combined hash aggregate — the 100 TB plan is the same plan."""
+    d = _docs(spark, sf_dir)
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    n_tok = F.expr(r"size(filter(split(text, '\\s+'), x -> x != ''))")
+    kept = ((alpha * 100 >= n * 55) & (F.col("n_chars") >= 100)).cast("long")
+    per = d.select(
+        "source", "lang", n.alias("nc"), n_tok.alias("nt"), kept.alias("k")
+    )
+    cnt = F.count(F.lit(1))
+    return per.groupBy("source", "lang").agg(
+        cnt.alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.round(F.sum("nc") / cnt, 6).alias("avg_chars"),
+        F.round(F.sum("k") / cnt, 6).alias("kept_share"),
+    )
+
+
+SOURCE_ROLLUP_SQL = r"""
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x != ''))) AS BIGINT) AS total_tokens,
+       round(CAST(sum(length(text)) AS BIGINT) / count(*), 6) AS avg_chars,
+       round(CAST(sum(CASE WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100
+                                >= length(text) * 55
+                           AND n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*), 6) AS kept_share
+FROM documents
+GROUP BY source, lang
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "spans_interleave": spans_interleave,
+    "contamination_ngram": contamination_ngram,
+    "source_quality_rollup": source_quality_rollup,
 }
 
 ORACLES = {
@@ -209,4 +321,6 @@ ORACLES = {
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "spans_interleave": SPANS_INTERLEAVE_SQL,
+    "contamination_ngram": CONTAMINATION_SQL,
+    "source_quality_rollup": SOURCE_ROLLUP_SQL,
 }

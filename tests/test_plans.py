@@ -83,3 +83,27 @@ def test_crawl_pages_projection_prunes_body(spark, tmp_path):
     schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
     assert schemas
     assert all("p_body" not in s for s in schemas), plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must be the BROADCAST side of the overlap
+    join — the big training side streams through a map-side hash join with
+    no shuffle (the whole point of the benchmark-side-is-small design). A
+    SortMergeJoin here would shuffle every training shingle."""
+    from forum_dl_spark.operators.textops import contamination_ngram
+
+    df = contamination_ngram(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # pruned scan: only doc_id + text are read
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_source_rollup_single_exchange(spark):
+    """The per-source rollup is one map-side-combined hash aggregate:
+    partial agg -> single exchange on the group keys -> final agg."""
+    from forum_dl_spark.operators.textops import source_quality_rollup
+
+    df = source_quality_rollup(spark, SF)
+    assert _n_exchanges(df) == 1, _plan(df)
