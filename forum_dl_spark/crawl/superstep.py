@@ -708,8 +708,11 @@ def run_crawl_shared(
         for row in plan["frontier"]:
             row = dict(row, ord=pre + row["ord"], attempt=0, engine=det.engine)
             state = dict(row.get("state") or {})
-            if "dfs" in state:  # the one state key that carries an ord
-                state["dfs"] = pre + state["dfs"]
+            # every ord-carrying state key gets the per-seed prefix (parse
+            # kernels emit item/frontier ords from these)
+            for k in ("dfs", "dfs_root", "b_ord", "t_ord"):
+                if k in state:
+                    state[k] = pre + state[k]
             row["state"] = state
             frontier_rows.append(row)
         seed_items += [

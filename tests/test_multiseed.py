@@ -165,3 +165,31 @@ def test_cli_shared_frontier_flag(spark, tmp_path):
         if (l["item"]["url"] or "").startswith("http")
     }
     assert {"phpbb.example", "forum.example"} <= hosts
+
+
+def test_shared_frontier_mail_engines_root_seeds(spark, tmp_path):
+    """Mixed MAIL engines under one shared frontier: a HyperKitty root seed
+    (the archive-index registration walk) and a Pipermail root seed (the
+    listinfo registration walk) interleave in one frontier/seen set, and
+    each seed's items equal its standalone run — the new root-seed modes
+    compose with shared mode unchanged."""
+    from forum_dl_spark.fixtures.hyperkitty import SyntheticHyperkitty
+    from forum_dl_spark.fixtures.pipermail import SyntheticPipermail
+
+    hk = SyntheticHyperkitty(seed=42, lists=("alpha.example", "beta.example"),
+                             lists_per_page=2, n_threads=2)
+    pm = SyntheticPipermail(seed=42, lists=("alpha", "mylist"))
+    srv = _MultiHost(hk, pm)
+    seeds = ["https://hk.example/", "https://pm.example/mailman/listinfo"]
+    shared = run_crawl_shared(spark, srv, seeds, str(tmp_path / "mshared"))
+    got = _seed_items(shared, strip_prefix=True)
+    assert sorted(got) == ["00000000", "00000001"]
+    for i, seed in enumerate(seeds):
+        solo = run_crawl(spark, srv, seed, str(tmp_path / f"msolo{i}"),
+                         CrawlConfig())
+        assert got[f"{i:08x}"] == _seed_items(solo, strip_prefix=False)["-"]
+    fetched = [
+        (r["url"], r["params"] or "")
+        for r in shared.pages().filter("kind != 'probe'").collect()
+    ]
+    assert len(fetched) == len(set(fetched))
