@@ -234,6 +234,109 @@ GROUP BY exact.query_id
 """
 
 
+def _spark_probe_expr() -> str:
+    # the query's own bucket + every Hamming-1 bucket (flip one sign bit)
+    terms = ["bucket"] + [f"int(bucket ^ {1 << p})" for p in range(LSH_PLANES)]
+    return "array(" + ", ".join(terms) + ")"
+
+
+def _duck_probe_sql() -> str:
+    terms = ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(LSH_PLANES)]
+    return "[" + ", ".join(terms) + "]"
+
+
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe ANN: each query also probes every Hamming-1 neighbor
+    bucket (one flipped hyperplane sign), the standard recall/latency
+    trade for sign-random-projection LSH — candidates grow ~(planes+1)×
+    while staying bucket-bounded, no rebuild of the index. Probe buckets
+    are distinct, so no candidate pair is generated twice. Scale shape is
+    unchanged from single-probe: explode the (planes+1) probes query-side
+    (queries are the small side), join on the bucket id, per-query
+    window top-k."""
+    from pyspark.sql import Window
+
+    dim = _embedding_dim(spark, sf_dir)
+    e = _emb(spark, sf_dir).withColumn(
+        "bucket", F.expr(_spark_bucket_expr(dim)).cast("int")
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), "v",
+            F.explode(F.expr(_spark_probe_expr())).alias("probe"),
+        )
+        .alias("a")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "v", "bucket").alias("b")
+    pairs = q.join(
+        c,
+        (F.col("a.probe") == F.col("b.bucket"))
+        & (F.col("a.query_id") != F.col("b.neighbor_id")),
+    ).withColumn("cos_sim", F.expr(f"{_SPARK_DOT} / ({_SPARK_NORM_A} * {_SPARK_NORM_B})"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+ANN_MULTIPROBE_SQL = f"""
+WITH e0 AS (SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings),
+e AS (SELECT vec_id, v, cast({{bucket}} AS int) AS bucket FROM e0),
+q AS (
+  SELECT vec_id, v, unnest({{probes}}) AS probe
+  FROM e WHERE vec_id < {N_QUERIES}
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, b.v) AS cos_sim
+  FROM q JOIN e b ON q.probe = b.bucket AND q.vec_id != b.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+WHERE rank <= {TOP_K}
+""".replace("{bucket}", _duck_bucket_sql()).replace("{probes}", _duck_probe_sql())
+
+
+def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the multiprobe ANN vs the exact baseline — compare with
+    ``ann_recall_at_k`` (single-probe) to see the multiprobe lift."""
+    exact = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = ann_multiprobe_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor_id")
+    )
+    hit = exact.join(
+        ann,
+        (exact.query_id == ann.query_id)
+        & (exact.neighbor_id == ann.ann_neighbor_id),
+        "left",
+    ).select(
+        exact.query_id.alias("qid"),
+        F.col("ann_neighbor_id").isNotNull().cast("int").alias("hit"),
+    )
+    return hit.groupBy(F.col("qid").alias("query_id")).agg(
+        F.round(F.sum("hit") / F.count("*"), 6).alias("recall")
+    )
+
+
+ANN_MULTIPROBE_RECALL_SQL = f"""
+WITH exact AS ({COSINE_TOPK_SQL.strip()}),
+ann AS ({ANN_MULTIPROBE_SQL.strip()})
+SELECT exact.query_id,
+       round(CAST(sum(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS recall
+FROM exact LEFT JOIN ann
+  ON exact.query_id = ann.query_id AND exact.neighbor_id = ann.neighbor_id
+GROUP BY exact.query_id
+"""
+
+
 NEARDUP_SEEDS = 20  # plant scaled copies of the first N vectors
 NEARDUP_ID_OFFSET = 1_000_000
 
@@ -291,6 +394,8 @@ QUERIES = {
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_recall_at_k": ann_recall_at_k,
+    "ann_multiprobe_topk": ann_multiprobe_topk,
+    "ann_multiprobe_recall": ann_multiprobe_recall,
     "embedding_neardup_cosine": embedding_neardup_cosine,
 }
 
@@ -299,5 +404,7 @@ ORACLES = {
     "ann_lsh_buckets": ANN_LSH_SQL,
     "ann_lsh_topk": ANN_TOPK_SQL,
     "ann_recall_at_k": ANN_RECALL_SQL,
+    "ann_multiprobe_topk": ANN_MULTIPROBE_SQL,
+    "ann_multiprobe_recall": ANN_MULTIPROBE_RECALL_SQL,
     "embedding_neardup_cosine": EMBEDDING_NEARDUP_SQL,
 }

@@ -91,3 +91,19 @@ def test_rows_only_queries_run(spark):
     for name in sorted(set(q) - set(o)):
         df = q[name](spark, SF_DIR)
         assert df.count() > 0, name
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multiprobe candidates are a superset of single-probe candidates
+    (the own bucket is always probed), so recall@k is per-query monotone —
+    and on the isotropic fixture the lift is strict in aggregate."""
+    from forum_dl_spark.operators.similarity import (ann_multiprobe_recall,
+                                                     ann_recall_at_k)
+
+    single = {r["query_id"]: r["recall"]
+              for r in ann_recall_at_k(spark, SF_DIR).collect()}
+    multi = {r["query_id"]: r["recall"]
+             for r in ann_multiprobe_recall(spark, SF_DIR).collect()}
+    assert set(single) == set(multi)
+    assert all(multi[q] >= single[q] for q in single)
+    assert sum(multi.values()) > sum(single.values())
