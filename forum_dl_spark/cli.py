@@ -26,7 +26,11 @@ OUTPUT_FORMATS = (
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="forum-dl-spark", add_help=True)
+    from . import __version__
+
     general = p.add_argument_group("General Options")
+    general.add_argument("--version", action="version", version=__version__,
+                         help="Print program version and exit")
     general.add_argument("--list-extractors", action="store_true",
                          help="List supported engines and exit")
     general.add_argument("--list-output-formats", action="store_true",
