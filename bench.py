@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "media_features",
     "dedup_clusters",
     "stratified_sample",
+    "contamination_ngram",
+    "source_quality_rollup",
+    "ann_multiprobe_topk",
+    "ann_multiprobe_recall",
 ]
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "150000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2"))

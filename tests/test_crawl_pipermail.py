@@ -119,3 +119,25 @@ def test_thread_mode_longid_replay(spark, server, tmp_path):
     assert posts and posts[0].subpath == ("1001",)  # root subpath quirk
     # the quote-strip substitution ran (pipermail.py:332)
     assert all("<i>" not in (p.content or "") for p in posts)
+
+
+def test_threadhtml_seed_resume_bit_identical(spark, server, tmp_path):
+    """Kill-and-resume across the evict-aware gate: a thread.html-seeded
+    crawl stopped after its first superstep resumes to EXACTLY the
+    uninterrupted run (the step-0 seen delta persists the probe's evict
+    flag, so the first thread's one-shot refetch still happens)."""
+    seed = "https://pm.example/pipermail/mylist/2021-January/thread.html"
+    full = run_crawl(spark, server, seed, str(tmp_path / "pm_full"), CrawlConfig())
+    part = run_crawl(spark, server, seed, str(tmp_path / "pm_part"),
+                     CrawlConfig(max_supersteps=2))
+    from forum_dl_spark.crawl import resume_crawl
+
+    res = resume_crawl(spark, server, str(tmp_path / "pm_part"))
+    trace = lambda c: [
+        (r["url"], r["params"] or "")
+        for r in c.pages().orderBy("ord", "attempt").collect()
+    ]
+    assert trace(res) == trace(full)
+    assert {(r["seen_key"], r["status"]) for r in res.seen().collect()} == {
+        (r["seen_key"], r["status"]) for r in full.seen().collect()
+    }
