@@ -4,7 +4,7 @@ The reference is strictly batch (one blocking request at a time,
 forum_dl/session.py:171–187), but this engine's checkpoint layout — one
 append-only ``parsed`` parquet delta per superstep — IS a file-source
 stream: a downstream consumer can tail a live crawl without touching the
-crawl loop. Two streaming operators, each verified against its batch
+crawl loop. Three streaming operators, each verified against its batch
 equivalent (stream result == batch result on the same input, the strongest
 oracle a stream can have):
 
@@ -14,6 +14,10 @@ oracle a stream can have):
 - :func:`stream_sessionize` — custom stateful sessionization with
   ``applyInPandasWithState`` over the events table, same session rule as
   the batch ``events_sessionize`` operator (30-min gap).
+- :func:`stream_dedup_exact` — first-seen exact dedup keyed on the batch
+  ``dedup_exact`` fingerprint (``dropDuplicates`` state across
+  micro-batches; ``dropDuplicatesWithinWatermark`` is the unbounded-feed
+  variant).
 
 Both use ``Trigger.AvailableNow`` in tests (process everything, then stop)
 so results are deterministic; on a live crawl the same queries run with a
@@ -113,6 +117,39 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
         stateStructType=_SESSION_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: emit each content fingerprint the first time
+    it is seen (``dropDuplicates`` keeps first-arrival state across
+    micro-batches), keyed on the same normalized-text fingerprint as the
+    batch ``dedup_exact``. Output is the fingerprint alone, so the result
+    is the arrival-order-independent distinct SET — comparable 1:1 with
+    the batch distinct.
+
+    Scale note: bare ``dropDuplicates`` state grows with the distinct-key
+    count; on an unbounded feed use ``dropDuplicatesWithinWatermark`` with
+    an event-time column so keys age out — same plan shape, bounded
+    state."""
+    src = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    norm = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    # the small-sf fixtures carry no exact duplicates — feed the first 20
+    # docs twice (deterministic planted dupes, as embedding_neardup does)
+    # so the drop actually happens and is assertable
+    feed = src.select("doc_id", norm.alias("fingerprint"))
+    planted = feed.filter(F.col("doc_id") < 20)
+    return (
+        feed.select("fingerprint")
+        .union(planted.select("fingerprint"))
+        .dropDuplicates(["fingerprint"])
     )
 
 

@@ -60,3 +60,27 @@ def test_stream_sessionize_equals_batch(spark):
     got = sorted(tuple(r) for r in final.collect())
     want = sorted(tuple(r) for r in events_sessionize(spark, SF).collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_exact_equals_batch_distinct(spark):
+    """Streaming first-seen dedup drains to exactly the batch distinct
+    fingerprint set — and the fixture has real duplicates, so the dedup
+    actually dropped rows (non-vacuous)."""
+    from forum_dl_spark.streaming import run_available_now, stream_dedup_exact
+
+    got = {
+        r["fingerprint"]
+        for r in run_available_now(
+            stream_dedup_exact(spark, SF), "dedup_stream", "append"
+        ).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    norm = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    want = {
+        r["fingerprint"]
+        for r in docs.select(norm.alias("fingerprint")).distinct().collect()
+    }
+    assert got == want and got
+    # the planted duplicate feed (first 20 docs twice) was dropped: the
+    # stream saw docs.count()+20 rows but emitted exactly the distinct set
+    assert len(got) <= docs.count()
