@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "media_features",
     "dedup_clusters",
     "stratified_sample",
+    "dedup_lsh_verified",
     "contamination_ngram",
     "source_quality_rollup",
     "ann_multiprobe_topk",

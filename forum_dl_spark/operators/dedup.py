@@ -238,6 +238,74 @@ FROM bands a JOIN bands b
 )
 
 
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-stage production dedup pipeline: MinHash-LSH generates
+    candidate pairs, then EXACT Jaccard is computed on candidates only —
+    the standard shape at corpus scale, where the all-pairs exact join
+    (``dedup_ngram_jaccard``) is infeasible but exact verification of the
+    O(bands)/doc candidate set is cheap.
+
+    Shuffle shape: the candidate table is tiny relative to the corpus, so
+    both per-doc shingle-set joins broadcast it; ``array_intersect`` runs
+    JVM-side on the two collected sets — no shingle-level shuffle at all
+    in the verify stage (the only wide ops are the LSH stages and the
+    per-doc ``collect_list``)."""
+    cands = dedup_minhash_lsh(spark, sf_dir)
+    sh = _shingle_df(spark, sf_dir)
+    # shingles are array_distinct'ed per doc, so collect_list IS the set
+    sets = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"), F.collect_list("shingle").alias("ss")
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"),
+                     F.col("ss").alias("ssa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"),
+                     F.col("ss").alias("ssb"))
+    inter = F.size(F.array_intersect("ssa", "ssb"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard",
+                    F.round(inter / (F.col("na") + F.col("nb") - inter), 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+DEDUP_LSH_VERIFIED_SQL = (
+    _DUCK_SHINGLE_CTE
+    + f""",
+mh AS (
+  SELECT doc_id, j, min({_DUCK_H32}) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS j)
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, CAST(j // {MINHASH_K // LSH_BANDS} AS int) AS band,
+         string_agg(CAST(mh AS varchar), ',' ORDER BY j) AS sig
+  FROM mh GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, count(*) AS n_sh, list(shingle) AS ss FROM sh GROUP BY doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa.ss, sb.ss))
+             / (sa.n_sh + sb.n_sh - len(list_intersect(sa.ss, sb.ss))), 6)
+           AS jaccard
+FROM cands
+JOIN sets sa ON sa.doc_id = doc_a
+JOIN sets sb ON sb.doc_id = doc_b
+WHERE round(len(list_intersect(sa.ss, sb.ss))
+            / (sa.n_sh + sb.n_sh - len(list_intersect(sa.ss, sb.ss))), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+)
+
+
 # --- SimHash -------------------------------------------------------------------
 
 SIMHASH_BITS = 32
@@ -303,6 +371,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_simhash": dedup_simhash,
 }
 
@@ -310,5 +379,6 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
 }

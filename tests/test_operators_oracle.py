@@ -107,3 +107,15 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert set(single) == set(multi)
     assert all(multi[q] >= single[q] for q in single)
     assert sum(multi.values()) > sum(single.values())
+
+
+def test_lsh_verified_subset_of_exact_jaccard(spark):
+    """Two-stage dedup invariant: every LSH-verified pair is an exact
+    all-pairs Jaccard pair with the SAME jaccard value (the verify stage
+    computes the same statistic on a candidate subset)."""
+    from forum_dl_spark.operators.dedup import (dedup_lsh_verified,
+                                                dedup_ngram_jaccard)
+
+    verified = {tuple(r) for r in dedup_lsh_verified(spark, SF_DIR).collect()}
+    exact = {tuple(r) for r in dedup_ngram_jaccard(spark, SF_DIR).collect()}
+    assert verified and verified <= exact
