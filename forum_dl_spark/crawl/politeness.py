@@ -180,24 +180,56 @@ def fetch_robots(server: object, hosts: list[str], scheme: str = "https",
     return out
 
 
+def host_key(netloc: str) -> str:
+    """Single canonical host key for ALL politeness joins: the netloc with
+    userinfo and ':port' stripped — the same value Spark's
+    ``parse_url(url, 'HOST')`` derives for the frontier's ``host`` column.
+    Both sides of every budget/robots/delay lookup MUST go through this
+    (a ported seed like ``localhost:8765`` would otherwise never match the
+    port-stripped frontier host and its pacing would silently not apply)."""
+    host = netloc.rsplit("@", 1)[-1]
+    if host.startswith("["):  # IPv6 literal: [::1]:8080 -> [::1]
+        return host.split("]", 1)[0] + "]"
+    return host.split(":", 1)[0]
+
+
 def effective_budgets(host_budgets: list[dict], prev_wall: float | None) -> list[dict]:
-    """Normalize host_budgets rows (fill optional fields) and scale
-    crawl-delay hosts' per-wave budget by the measured wave wall: a host
-    asking for one fetch per ``delay`` seconds gets floor(wall/delay)
-    fetches out of a wave that takes ``wall`` seconds (min 1 — the wave
-    plus the inter-wave sleep in the loop then paces the remainder)."""
-    out = []
+    """Normalize host_budgets rows (canonical ``host_key``, fill optional
+    fields), MERGE duplicate-host rows (strictest wins: min budget, union
+    of disallow prefixes, max crawl-delay — http:// and https:// seeds of
+    one host each fetch robots, and user rows may repeat a host; without
+    the merge ``budgeted_pop``'s left join would emit each popped row once
+    per duplicate), and scale crawl-delay hosts' per-wave budget by the
+    measured wave wall: a host asking for one fetch per ``delay`` seconds
+    gets floor(wall/delay) fetches out of a wave that takes ``wall``
+    seconds (min 1 — the wave plus the inter-wave sleep in the loop then
+    paces the remainder)."""
+    merged: dict[str, dict] = {}
     for hb in host_budgets:
-        delay = float(hb.get("crawl_delay") or 0.0)
-        budget = int(hb.get("max_fetches_per_superstep", 2**31 - 1))
-        if delay > 0:
-            budget = min(budget, max(1, int((prev_wall or 0.0) / delay)))
-        out.append(
-            {
-                "host": hb["host"],
-                "max_fetches_per_superstep": budget,
-                "robots_disallow": list(hb.get("robots_disallow") or ()),
-                "crawl_delay": delay,
-            }
-        )
+        h = host_key(hb["host"])
+        row = {
+            "host": h,
+            "max_fetches_per_superstep": int(hb.get("max_fetches_per_superstep", 2**31 - 1)),
+            "robots_disallow": list(hb.get("robots_disallow") or ()),
+            "crawl_delay": float(hb.get("crawl_delay") or 0.0),
+        }
+        prev = merged.get(h)
+        if prev is None:
+            merged[h] = row
+        else:
+            prev["max_fetches_per_superstep"] = min(
+                prev["max_fetches_per_superstep"], row["max_fetches_per_superstep"]
+            )
+            prev["robots_disallow"] += [
+                p for p in row["robots_disallow"] if p not in prev["robots_disallow"]
+            ]
+            prev["crawl_delay"] = max(prev["crawl_delay"], row["crawl_delay"])
+    out = []
+    for row in merged.values():
+        if row["crawl_delay"] > 0:
+            row["max_fetches_per_superstep"] = min(
+                row["max_fetches_per_superstep"],
+                max(1, int((prev_wall or 0.0) / row["crawl_delay"])),
+            )
+        out.append(row)
     return out

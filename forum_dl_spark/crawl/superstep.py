@@ -449,8 +449,10 @@ def run_crawl(
 
         from .politeness import fetch_robots as _fetch_robots
 
+        from .politeness import host_key as _host_key
+
         u = _up(seed_url)
-        explicit = {hb["host"] for hb in config.host_budgets or ()}
+        explicit = {_host_key(hb["host"]) for hb in config.host_budgets or ()}
         fetched_rules = [
             hb
             for hb in _fetch_robots(
@@ -461,7 +463,7 @@ def run_crawl(
                 # targeting this crawler (not just '*') apply
                 user_agent=getattr(server, "user_agent", "*") or "*",
             )
-            if hb["host"] not in explicit
+            if _host_key(hb["host"]) not in explicit
         ]
         if fetched_rules:
             config = dataclasses.replace(
@@ -723,7 +725,9 @@ def run_crawl_shared(
     if config.fetch_robots:
         from .politeness import fetch_robots as _fetch_robots
 
-        explicit = {hb["host"] for hb in config.host_budgets or ()}
+        from .politeness import host_key as _host_key
+
+        explicit = {_host_key(hb["host"]) for hb in config.host_budgets or ()}
         fetched_rules: list[dict] = []
         for host, scheme in dict.fromkeys(robots_hosts):
             fetched_rules += [
@@ -732,7 +736,7 @@ def run_crawl_shared(
                     server, [host], scheme=scheme,
                     user_agent=getattr(server, "user_agent", "*") or "*",
                 )
-                if hb["host"] not in explicit
+                if _host_key(hb["host"]) not in explicit
             ]
         if fetched_rules:
             config = dataclasses.replace(
@@ -886,11 +890,15 @@ def _loop(
     # crawl-delay pacing state: measured wall of the previous wave (incl.
     # any politeness sleep) scales the next wave's per-host delay budgets
     prev_wall: float | None = None
-    delay_hosts = {
-        hb["host"]: float(hb["crawl_delay"])
-        for hb in config.host_budgets or ()
-        if hb.get("crawl_delay")
-    }
+    # keys canonicalized with host_key so they match the port-stripped
+    # parse_url(HOST) grouping below; duplicate rows merge to max delay
+    from .politeness import host_key as _hk
+
+    delay_hosts: dict[str, float] = {}
+    for hb in config.host_budgets or ():
+        if hb.get("crawl_delay"):
+            h = _hk(hb["host"])
+            delay_hosts[h] = max(delay_hosts.get(h, 0.0), float(hb["crawl_delay"]))
     seen_total = _read_seen_sofar(spark, wd, start_step).count()
     frontier = spark.read.parquet(str(wd / "steps" / f"{start_step - 1:05d}" / "frontier"))
 

@@ -11,11 +11,12 @@ Modules:
 - similarity:  brute-force cosine top-k + LSH-bucketed ANN
 - multimodal:  binary-column plumbing with stubbed decode
 - pipeline:    dup-cluster connected components + stratified sampling
+- streamq:     drained Structured-Streaming wrappers (stream==batch oracle)
 """
 
-from . import dedup, multimodal, pipeline, relational, similarity, textops
+from . import dedup, multimodal, pipeline, relational, similarity, streamq, textops
 
-_MODULES = [relational, dedup, textops, similarity, multimodal, pipeline]
+_MODULES = [relational, dedup, textops, similarity, multimodal, pipeline, streamq]
 
 
 def all_queries():

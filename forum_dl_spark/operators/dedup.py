@@ -110,11 +110,16 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     out = sh.join(keep, "shingle", "left_semi").select("doc_id", "shingle").persist()
-    for old_key, old_df in list(_SHINGLE_MEMO.items()):
+    # evict ONLY stale-session entries (dead handles, nothing to unpersist)
+    # and, within this session, the oldest entries beyond a small LRU cap —
+    # a run alternating two sf_dirs (bench at two scale factors) keeps both
+    # shingle relations cached instead of rebuilding on every call
+    for old_key in [k for k in _SHINGLE_MEMO if k[0] != key[0]]:
         del _SHINGLE_MEMO[old_key]
-        if old_key[0] == key[0]:  # same session: free executor memory
-            old_df.unpersist()
     _SHINGLE_MEMO[key] = out
+    while len(_SHINGLE_MEMO) > 2:  # insertion-ordered dict -> oldest first
+        old_key = next(k for k in _SHINGLE_MEMO if k != key)
+        _SHINGLE_MEMO.pop(old_key).unpersist()
     return out
 
 
@@ -245,11 +250,16 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dedup_ngram_jaccard``) is infeasible but exact verification of the
     O(bands)/doc candidate set is cheap.
 
-    Shuffle shape: the candidate table is tiny relative to the corpus, so
-    both per-doc shingle-set joins broadcast it; ``array_intersect`` runs
-    JVM-side on the two collected sets — no shingle-level shuffle at all
-    in the verify stage (the only wide ops are the LSH stages and the
-    per-doc ``collect_list``)."""
+    Shuffle shape: the candidate table is O(bands)/doc — tiny relative to
+    the corpus — so it is EXPLICITLY broadcast into both per-doc
+    shingle-set joins (hinted, not left to AQE: the claimed plan is pinned
+    by tests/test_plans.py); ``array_intersect`` runs JVM-side on the two
+    collected sets — no shingle-level shuffle at all in the verify stage
+    (the only wide ops are the LSH stages and the per-doc
+    ``collect_list``). 100 TB note: the second broadcast carries doc_a's
+    shingle array, still candidate-bounded; if the candidate set ever
+    outgrows the broadcast threshold, drop the hints and both joins
+    degrade gracefully to shuffle-hash on the doc-id keys."""
     cands = dedup_minhash_lsh(spark, sf_dir)
     sh = _shingle_df(spark, sf_dir)
     # shingles are array_distinct'ed per doc, so collect_list IS the set
@@ -261,9 +271,9 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"),
                      F.col("ss").alias("ssb"))
     inter = F.size(F.array_intersect("ssa", "ssb"))
+    half = sa.join(F.broadcast(cands), "doc_a")
     return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        sb.join(F.broadcast(half), "doc_b")
         .withColumn("jaccard",
                     F.round(inter / (F.col("na") + F.col("nb") - inter), 6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)

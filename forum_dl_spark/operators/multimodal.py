@@ -42,11 +42,12 @@ FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("content_type", StringType(), False),
-        StructField("n_bytes", IntegerType(), False),
-        StructField("byte_mean", DoubleType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("byte_sum", LongType(), False),
+        StructField("byte_mean_e4", LongType(), False),
         StructField("phash", StringType(), False),
-        StructField("thumb_w", IntegerType(), False),
-        StructField("thumb_h", IntegerType(), False),
+        StructField("thumb_w", LongType(), False),
+        StructField("thumb_h", LongType(), False),
     ]
 )
 
@@ -83,9 +84,14 @@ def synth_media(spark: SparkSession, sf_dir: str, n_rows: int = 200) -> DataFram
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stage: mapInPandas over binary payloads.
 
-    Uses the deterministic fake featureizer (mean byte, length, md5-phash,
-    thumbnail dims from a fixed resize rule) — the Arrow batch shape and
-    UDF signature are exactly what a real decoder would use.
+    Uses the deterministic fake featureizer — the Arrow batch shape and
+    UDF signature are exactly what a real decoder would use. Every output
+    is chosen to be INTEGER-EXACT or hash-exact so a DuckDB closed-form
+    oracle can replay it over the md5-derived payload spec: byte_sum /
+    byte_mean_e4 (= 10000*sum // n, integer floor — no FP rounding-tie
+    nondeterminism between engines) and phash = md5 of the payload's HEX
+    encoding (DuckDB 1.0 has no md5(BLOB) / blob substring, and the hex
+    string of the repeated-digest payload is closed-form in SQL).
     """
     media = synth_media(spark, sf_dir)
 
@@ -94,21 +100,31 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            # numpy view over each buffer — no per-byte Python loop
+            sums = [
+                int(np.frombuffer(p, dtype=np.uint8).sum()) if len(p) else 0
+                for p in payloads
+            ]
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
+                    "media_id": pdf["media_id"].astype("int64"),
                     "content_type": pdf["content_type"],
-                    "n_bytes": payloads.map(len),
-                    # numpy view over each buffer — no per-byte Python loop
-                    "byte_mean": [
-                        round(float(np.frombuffer(p, dtype=np.uint8).mean()), 4)
-                        if len(p)
-                        else 0.0
+                    "n_bytes": n_bytes.astype("int64"),
+                    "byte_sum": pd.Series(sums, dtype="int64"),
+                    "byte_mean_e4": pd.Series(
+                        [
+                            (10000 * s) // n if n else 0
+                            for s, n in zip(sums, n_bytes)
+                        ],
+                        dtype="int64",
+                    ),
+                    "phash": [
+                        hashlib.md5(bytes(p).hex().encode()).hexdigest()[:16]
                         for p in payloads
                     ],
-                    "phash": [hashlib.md5(p).hexdigest()[:16] for p in payloads],
-                    "thumb_w": np.minimum(pdf["width"], 32),
-                    "thumb_h": np.minimum(pdf["height"], 32),
+                    "thumb_w": np.minimum(pdf["width"], 32).astype("int64"),
+                    "thumb_h": np.minimum(pdf["height"], 32).astype("int64"),
                 },
                 columns=[f.name for f in FEATURES_SCHEMA.fields],
             )
@@ -166,6 +182,48 @@ QUERIES = {
     "crawl_phpbb_files": crawl_phpbb_files,
 }
 
-# rows-only checks: stateful/iterative or binary-payload ops, not
-# SQL-expressible — the driver records the weaker rows-only check for these
-ORACLES: dict[str, str] = {}
+# media_features IS oracle-able: the fake featurizer is a closed form over
+# md5('media:'||id), so DuckDB replays payload construction symbolically —
+# hex(payload) = (hexdigest * reps)[:2*n_bytes] and per-byte stats come from
+# the 16 digest bytes (full repeats + remainder prefix). The two crawl
+# smokes stay rows-only (iterative stateful crawl, not SQL-expressible).
+ORACLES: dict[str, str] = {
+    "media_features": """
+WITH m AS (
+  SELECT id AS media_id,
+         CASE WHEN id % 3 <> 0 THEN 'image/png' ELSE 'image/jpeg' END
+           AS content_type,
+         md5('media:' || id) AS hexd,
+         16 + id % 16 AS reps,
+         256 + id % 256 AS cap,
+         64 + id % 64 AS width,
+         48 + id % 48 AS height
+  FROM range(0, 200) t(id)
+),
+b AS (
+  SELECT *,
+         LEAST(16 * reps, cap) AS n_bytes,
+         list_transform(range(0, 16),
+           i -> CAST(concat('0x', substring(hexd, 2 * i + 1, 2)) AS BIGINT))
+           AS bytes16
+  FROM m
+),
+s AS (
+  SELECT *,
+         CAST((n_bytes // 16) * list_sum(bytes16)
+              + COALESCE(list_sum(bytes16[1:(n_bytes % 16)]), 0) AS BIGINT)
+           AS byte_sum
+  FROM b
+)
+SELECT media_id,
+       content_type,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       byte_sum,
+       CAST((10000 * byte_sum) // n_bytes AS BIGINT) AS byte_mean_e4,
+       substring(md5(substring(repeat(hexd, reps), 1, 2 * n_bytes)), 1, 16)
+         AS phash,
+       CAST(LEAST(width, 32) AS BIGINT) AS thumb_w,
+       CAST(LEAST(height, 32) AS BIGINT) AS thumb_h
+FROM s
+""",
+}

@@ -27,7 +27,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import _DUCK_SHINGLE_CTE, _DUCK_H32, LSH_BANDS, MINHASH_K, dedup_minhash_lsh
+from .dedup import (
+    _DUCK_SHINGLE_CTE,
+    _DUCK_H32,
+    JACCARD_THRESHOLD,
+    LSH_BANDS,
+    MINHASH_K,
+    dedup_lsh_verified,
+    dedup_minhash_lsh,
+)
 
 MAX_CC_ITERS = 50
 
@@ -327,14 +335,107 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped corpus EMIT — the step every upstream dedup operator feeds:
+    exact-duplicate edges (same normalized-text fingerprint) union the
+    two-stage verified near-dup edges (``dedup_lsh_verified``), connected
+    components over the combined graph, keep the min-doc_id representative
+    per cluster, and return the surviving corpus rows. One rule subsumes
+    both exact and near dedup: a doc survives iff it is its own cluster
+    representative.
+
+    Scale shape: the exact edges come from one fingerprint window (hash
+    partition, no join); near edges from the LSH+verify pipeline; CC is
+    label-only iterations over (id, id) pairs — the document TEXT is
+    touched exactly once at the final left_semi join, so the emit adds no
+    text-sized shuffle beyond the dedup stages themselves."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    norm = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    w = Window.partitionBy(norm)
+    exact_edges = (
+        d.select(
+            F.min("doc_id").over(w).alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        .filter(F.col("doc_b") > F.col("doc_a"))
+    )
+    near_edges = dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    edges = exact_edges.unionByName(near_edges).distinct()
+    labels, _rounds = connected_components(edges, d.select("doc_id"))
+    survivors = labels.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return d.join(survivors, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DEDUP_APPLY_SQL = (
+    _DUCK_SHINGLE_CTE.replace("WITH sh_raw", "WITH RECURSIVE sh_raw", 1)
+    + f""",
+mh AS (
+  SELECT doc_id, j, min({_DUCK_H32}) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS j)
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, CAST(j // {MINHASH_K // LSH_BANDS} AS int) AS band,
+         string_agg(CAST(mh AS varchar), ',' ORDER BY j) AS sig
+  FROM mh GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, count(*) AS n_sh, list(shingle) AS ss FROM sh GROUP BY doc_id
+),
+near AS (
+  SELECT doc_a, doc_b
+  FROM cands
+  JOIN sets sa ON sa.doc_id = doc_a
+  JOIN sets sb ON sb.doc_id = doc_b
+  WHERE round(len(list_intersect(sa.ss, sb.ss))
+              / (sa.n_sh + sb.n_sh - len(list_intersect(sa.ss, sb.ss))), 6)
+        >= {JACCARD_THRESHOLD}
+),
+exact AS (
+  SELECT mn AS doc_a, doc_id AS doc_b FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (
+             PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+           ) AS mn
+    FROM documents
+  ) WHERE doc_id > mn
+),
+edges AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exact),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+WHERE l.cluster_id = d.doc_id
+"""
+)
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
+    "dedup_apply": dedup_apply,
     "stratified_sample": stratified_sample,
 }
 
 ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
+    "dedup_apply": DEDUP_APPLY_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
 }

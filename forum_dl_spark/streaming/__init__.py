@@ -123,34 +123,35 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
 _DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
-def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a file stream (micro-batched parquet read)."""
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_dedup_exact(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Streaming exact dedup: emit each content fingerprint the first time
     it is seen (``dropDuplicates`` keeps first-arrival state across
     micro-batches), keyed on the same normalized-text fingerprint as the
     batch ``dedup_exact``. Output is the fingerprint alone, so the result
     is the arrival-order-independent distinct SET — comparable 1:1 with
-    the batch distinct.
+    the batch distinct. A pure first-seen dedup of its input: ``source``
+    (default: the sf_dir documents stream) is deduped as-is — tests that
+    need guaranteed duplicates plant them in the fixture feed they pass
+    in, never here.
 
     Scale note: bare ``dropDuplicates`` state grows with the distinct-key
     count; on an unbounded feed use ``dropDuplicatesWithinWatermark`` with
     an event-time column so keys age out — same plan shape, bounded
     state."""
-    src = (
-        spark.readStream.schema(_DOCS_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    src = source if source is not None else docs_stream(spark, sf_dir)
     norm = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    # the small-sf fixtures carry no exact duplicates — feed the first 20
-    # docs twice (deterministic planted dupes, as embedding_neardup does)
-    # so the drop actually happens and is assertable
-    feed = src.select("doc_id", norm.alias("fingerprint"))
-    planted = feed.filter(F.col("doc_id") < 20)
-    return (
-        feed.select("fingerprint")
-        .union(planted.select("fingerprint"))
-        .dropDuplicates(["fingerprint"])
-    )
+    return src.select(norm.alias("fingerprint")).dropDuplicates(["fingerprint"])
 
 
 def run_available_now(

@@ -117,6 +117,31 @@ def test_http_adapter_transport_retry(spark, http_base, tmp_path):
     assert status == 200 and body
 
 
+def test_crawl_delay_applies_to_ported_host(spark, http_base, tmp_path):
+    """Crawl-delay pacing must key on the port-stripped host: the bridge's
+    netloc is 127.0.0.1:PORT while the wave accounting groups by
+    parse_url(HOST) = 127.0.0.1 — before host_key normalization the owed
+    sleep was always 0 for any ported host and pacing silently never
+    applied."""
+    import time as _time
+
+    from urllib.parse import urlparse as _up
+
+    delay = 0.2
+    netloc = _up(http_base).netloc
+    assert ":" in netloc  # the fixture really is a ported host
+    cfg = CrawlConfig(host_budgets=[{
+        "host": netloc, "robots_disallow": [], "crawl_delay": delay,
+    }])
+    t0 = _time.time()
+    res = run_crawl(spark, HttpServer(timeout=10.0), http_base,
+                    str(tmp_path / "paced_port"), cfg)
+    elapsed = _time.time() - t0
+    fetched = res.pages().filter("kind != 'probe'").count()
+    assert fetched > 0
+    assert elapsed >= delay * fetched - 0.1
+
+
 def test_http_adapter_rejects_bad_scheme():
     with pytest.raises(ValueError):
         HttpServer().get("ftp://example.com/x", None, 0)

@@ -100,6 +100,22 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
+def test_lsh_verified_broadcasts_candidates(spark):
+    """The two-stage dedup's verify stage must BROADCAST the candidate
+    side into BOTH per-doc shingle-set joins (doc_a, then doc_b) — the
+    docstring's claimed 100 TB shape, hinted explicitly rather than left
+    to AQE. A SortMergeJoin on either doc-id key would shuffle the per-doc
+    shingle arrays."""
+    import re
+
+    from forum_dl_spark.operators.dedup import dedup_lsh_verified
+
+    plan = _plan(dedup_lsh_verified(spark, SF))
+    assert re.search(r"BroadcastHashJoin \[doc_a#\d+L\]", plan), plan
+    assert re.search(r"BroadcastHashJoin \[doc_b#\d+L\]", plan), plan
+    assert not re.search(r"SortMergeJoin \[doc_[ab]#", plan), plan
+
+
 def test_source_rollup_single_exchange(spark):
     """The per-source rollup is one map-side-combined hash aggregate:
     partial agg -> single exchange on the group keys -> final agg."""

@@ -310,6 +310,37 @@ def test_effective_budgets_scaling():
     assert row["robots_disallow"] == [] and row["crawl_delay"] == 0.0
 
 
+def test_effective_budgets_normalizes_and_merges_hosts():
+    """Rows are keyed by the canonical port-stripped host (matching the
+    frontier's parse_url HOST column) and duplicate-host rows merge to the
+    strictest: min budget, union of disallow prefixes, max crawl-delay —
+    http:// + https:// robots fetches of one host must not duplicate
+    popped rows through budgeted_pop's join."""
+    from forum_dl_spark.crawl.politeness import effective_budgets, host_key
+
+    assert host_key("localhost:8765") == "localhost"
+    assert host_key("user:pw@h.example:443") == "h.example"
+    assert host_key("[::1]:8080") == "[::1]"
+    assert host_key("h.example") == "h.example"
+
+    rows = effective_budgets(
+        [
+            {"host": "h.example:443", "max_fetches_per_superstep": 5,
+             "robots_disallow": ["/a/"], "crawl_delay": 0.0},
+            {"host": "h.example", "max_fetches_per_superstep": 3,
+             "robots_disallow": ["/a/", "/b/"], "crawl_delay": 10.0},
+        ],
+        35.0,
+    )
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["host"] == "h.example"
+    # delay budget floor(35/10)=3 equals the explicit min(5,3)
+    assert row["max_fetches_per_superstep"] == 3
+    assert row["robots_disallow"] == ["/a/", "/b/"]
+    assert row["crawl_delay"] == 10.0
+
+
 def test_crawl_delay_paces_waves(spark, server, baseline, tmp_path):
     """With Crawl-delay D, a host fetched k times in a wave must not see
     the next wave before k*D elapsed — so total wall >= D * fetches; the

@@ -66,12 +66,21 @@ def test_stream_dedup_exact_equals_batch_distinct(spark):
     """Streaming first-seen dedup drains to exactly the batch distinct
     fingerprint set — and the fixture has real duplicates, so the dedup
     actually dropped rows (non-vacuous)."""
-    from forum_dl_spark.streaming import run_available_now, stream_dedup_exact
+    from forum_dl_spark.streaming import (
+        docs_stream,
+        run_available_now,
+        stream_dedup_exact,
+    )
 
+    # planted-dupe FIXTURE feed (operator stays a pure first-seen dedup):
+    # the sf0.01 docs have no exact duplicates, so replay the first 20
+    # docs to guarantee the drop actually happens and is assertable
+    src = docs_stream(spark, SF)
+    feed = src.union(src.filter(F.col("doc_id") < 20))
     got = {
         r["fingerprint"]
         for r in run_available_now(
-            stream_dedup_exact(spark, SF), "dedup_stream", "append"
+            stream_dedup_exact(spark, SF, source=feed), "dedup_stream", "append"
         ).collect()
     }
     docs = spark.read.parquet(f"{SF}/documents.parquet")
