@@ -58,10 +58,26 @@ BENCH_QUERIES = [
     "source_quality_rollup",
     "ann_multiprobe_topk",
     "ann_multiprobe_recall",
+    "ann_clustered_topk",
+    "ann_recall_clustered",
+    "dedup_apply",
+    "stream_dedup_exact",
+    "stream_sessionize",
 ]
-CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "150000"))
+# per-query sf override: dedup_ngram_jaccard is the LABELED exact all-pairs
+# BASELINE (its scale path is dedup_lsh_verified, benched at full sf) — at
+# sf0.1 it alone ate ~20% of the suite wall for a number nobody ships, so
+# it is timed at the next sf down (round-3 verdict ask #6)
+SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+QUERY_SF_OVERRIDE = {"dedup_ngram_jaccard": SMALL_SF_DIR}
+# round-3 verdict ask #1: make each scaling pair BIGGER, not more numerous —
+# at 150k pages (~60 s of N=2 work) one page-cache/governor hiccup sank a
+# pair below the 0.8 gate in the driver's re-run; 450k pages puts ~10 min
+# of work behind each pair so OS noise amortizes, with 3 recorded pairs
+# (median) instead of 5 to keep total bench wall ~1 h
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "450000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2"))
-BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 WARMUP_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
 CALIB_PAGES = int(os.environ.get("SPARK_GRAFT_CALIB_PAGES", "30000"))
 
@@ -78,11 +94,13 @@ def run_queries() -> dict[str, float]:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").groupBy("l_returnflag").count().collect()
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        sf = QUERY_SF_OVERRIDE.get(name, SF_DIR)
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
+        df = qs[name](spark, sf)
         n = df.count()
         out[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+        note = " [small-sf]" if name in QUERY_SF_OVERRIDE else ""
+        print(f"  {name}: {out[name]}s ({n} rows){note}", file=sys.stderr)
     spark.stop()
     return out
 
@@ -210,10 +228,19 @@ def write_baseline_md(queries: dict, crawl: dict) -> None:
         "",
         "## Analytics queries (seconds)",
         "",
+        "Note: the doc-shingle relation is built once and persisted, then "
+        "shared by every shingle consumer — the build cost lands on the "
+        "FIRST full-sf shingle query in suite order (dedup_minhash_lsh now "
+        "that dedup_ngram_jaccard runs at the small sf; before round 4 it "
+        "landed on jaccard and made minhash look artificially cheap).",
+        "",
         "| query | sec |",
         "|---|---|",
     ]
-    lines += [f"| {k} | {v} |" for k, v in queries.items()]
+    lines += [
+        f"| {k} | {v}{' (small sf: ' + SMALL_SF_DIR + ')' if k in QUERY_SF_OVERRIDE else ''} |"
+        for k, v in queries.items()
+    ]
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "RESULTS.md").write_text("\n".join(lines) + "\n")
 
@@ -231,6 +258,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+                "sf_overrides": {
+                    k: float(v.rstrip("/").split("sf")[-1])
+                    for k, v in QUERY_SF_OVERRIDE.items()
+                },
                 "crawl": crawl,
             }
         )

@@ -337,6 +337,281 @@ GROUP BY exact.query_id
 """
 
 
+# --- clustered fixture + multi-table (band-OR) LSH ---------------------------
+#
+# The isotropic random fixture makes ANY LSH recall number near-meaningless:
+# ~0.2 is close to the theoretical ceiling because near-orthogonal vectors
+# carry no locality for hyperplanes to find (round-3 verdict). A real user
+# judges an ANN index by recall on CLUSTERED data, so this block derives a
+# clustered table IN-ENGINE from the base embeddings — no external data,
+# byte-identical in Spark and DuckDB: CL_CENTROIDS base vectors each spawn
+# CL_MEMBERS members with small deterministic per-dimension noise
+# (md5-derived, the repo's portable-hash recipe), giving within-cluster
+# cosine ~0.999 and cross-cluster cosine ~0 (isotropic). Ground truth =
+# brute-force top-k over the clustered table; the index under eval is
+# MULTI-TABLE sign-random-projection LSH (the OR-construction): CL_TABLES
+# independent hyperplane sets, candidates = union over tables of
+# same-bucket pairs — the standard recall lever that needs no probing
+# heuristics and parallelizes as T independent bucket joins.
+
+CL_CENTROIDS = 10   # clusters (base vec_id < 10 are the centroids)
+CL_MEMBERS = 30     # members per cluster (m = 0 is the query vector)
+CL_ID_STRIDE = 100  # member vec_id = centroid*stride + m
+CL_TABLES = 4       # OR'd LSH tables, LSH_PLANES hyperplanes each
+
+_SPARK_CL_NOISE = (
+    "transform(v, (x, i) -> x * (1.0D + "
+    "(cast(conv(substring(md5(concat('cl:', cast(c as string), ':', "
+    "cast(m as string), ':', cast(i as string))), 1, 8), 16, 10) as bigint) "
+    "% 1000 - 500) * 0.0015D))"
+)
+
+
+def _clustered_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _emb(spark, sf_dir).filter(F.col("vec_id") < CL_CENTROIDS).select(
+        F.col("vec_id").alias("c"), "v"
+    )
+    m = spark.range(CL_MEMBERS).select(F.col("id").cast("int").alias("m"))
+    return base.crossJoin(F.broadcast(m)).select(
+        (F.col("c") * CL_ID_STRIDE + F.col("m")).cast("long").alias("vec_id"),
+        F.expr(_SPARK_CL_NOISE).alias("v"),
+    )
+
+
+_DUCK_CLUSTERED_CTE = f"""
+WITH base AS (
+  SELECT vec_id AS c, cast(embedding AS double[]) AS v
+  FROM embeddings WHERE vec_id < {CL_CENTROIDS}
+),
+cemb AS (
+  SELECT c * {CL_ID_STRIDE} + m AS vec_id,
+         [v[i] * (1 + (cast(concat('0x', substring(md5(concat('cl:', c, ':',
+              m, ':', i - 1)), 1, 8)) as bigint) % 1000 - 500) * 0.0015)
+          for i in generate_series(1, len(v))] AS v
+  FROM base CROSS JOIN (SELECT unnest(generate_series(0, {CL_MEMBERS - 1})) AS m)
+)
+"""
+
+
+def _plane_weights_t(t: int, p: int, dim: int) -> list[float]:
+    return [
+        1.0
+        if int(hashlib.md5(f"t{t}:{p}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def _spark_bucket_expr_t(t: int, dim: int) -> str:
+    bits = []
+    for p in range(LSH_PLANES):
+        w = "array(" + ",".join(
+            "1.0D" if x > 0 else "-1.0D" for x in _plane_weights_t(t, p, dim)
+        ) + ")"
+        dot = f"aggregate(zip_with(v, {w}, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _duck_bucket_sql_t(t: int) -> str:
+    bits = []
+    for p in range(LSH_PLANES):
+        w = (
+            f"[CASE WHEN cast(concat('0x', substring(md5(concat('t{t}:{p}:',"
+            f" cast(i - 1 as varchar))), 1, 8)) as bigint) % 2 = 0"
+            f" THEN 1.0 ELSE -1.0 END for i in generate_series(1, len(v))]"
+        )
+        dot = f"list_sum(list_transform(list_zip(v, {w}), z -> z[1] * z[2]))"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _clustered_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, t, bucket): one bucket id per vector per LSH table."""
+    dim = _embedding_dim(spark, sf_dir)
+    e = _clustered_emb(spark, sf_dir)
+    per_table = "array(" + ", ".join(
+        f"struct({t} as t, cast({_spark_bucket_expr_t(t, dim)} as int) as bucket)"
+        for t in range(CL_TABLES)
+    ) + ")"
+    return e.select(
+        "vec_id", "v", F.explode(F.expr(per_table)).alias("tb")
+    ).select("vec_id", "v", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+
+def _duck_clustered_buckets() -> str:
+    """tb(vec_id, v, t, bucket) over cemb — union of the per-table buckets."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS t, cast({_duck_bucket_sql_t(t)} AS int) AS bucket FROM cemb"
+        for t in range(CL_TABLES)
+    )
+
+
+def ann_clustered_topk(
+    spark: SparkSession, sf_dir: str, n_tables: int = CL_TABLES
+) -> DataFrame:
+    """Multi-table LSH top-k on the clustered fixture: candidates = union
+    over CL_TABLES independent hyperplane sets of same-bucket pairs
+    (deduped on ids — a pair colliding in several tables scores once),
+    then exact cosine + per-query window top-k. Queries are each cluster's
+    m=0 member. ``n_tables`` restricts to the first tables (tests use it
+    to show the OR-construction's recall lift over a single table)."""
+    from pyspark.sql import Window
+
+    tb = _clustered_buckets(spark, sf_dir).filter(F.col("t") < n_tables)
+    q = tb.filter(F.col("vec_id") % CL_ID_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v"), "t", "bucket"
+    ).alias("a")
+    c = tb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v"), "t", "bucket"
+    ).alias("b")
+    pairs = (
+        q.join(
+            c,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.query_id") != F.col("b.neighbor_id")),
+        )
+        # same (query, neighbor) may collide in several tables: dedupe on
+        # ids (vector payloads are identical per id, so content-stable)
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos_sim", F.expr(f"{_SPARK_DOT} / ({_SPARK_NORM_A} * {_SPARK_NORM_B})"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+ANN_CLUSTERED_TOPK_SQL = (
+    _DUCK_CLUSTERED_CTE
+    + f""",
+tb AS ({{tb}}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM tb a JOIN tb b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+  WHERE a.vec_id % {CL_ID_STRIDE} = 0
+),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qa.v, qb.v) AS cos_sim
+  FROM cand
+  JOIN cemb qa ON qa.vec_id = query_id
+  JOIN cemb qb ON qb.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+WHERE rank <= {TOP_K}
+""".replace("{tb}", _duck_clustered_buckets())
+)
+
+
+def clustered_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over the clustered fixture (ground truth for recall)."""
+    from pyspark.sql import Window
+
+    e = _clustered_emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % CL_ID_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v")
+    ).alias("a")
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v")).alias("b")
+    pairs = q.join(c, F.col("a.query_id") != F.col("b.neighbor_id")).withColumn(
+        "cos_sim", F.expr(f"{_SPARK_DOT} / ({_SPARK_NORM_A} * {_SPARK_NORM_B})")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def ann_recall_clustered(
+    spark: SparkSession, sf_dir: str, n_tables: int = CL_TABLES
+) -> DataFrame:
+    """recall@k of multi-table LSH vs exact, per query, on the CLUSTERED
+    fixture — the number a user would actually judge the index by
+    (tests/test_ann_clustered.py pins mean recall >= 0.8 and the lift over
+    a single table; the isotropic ``ann_recall_at_k`` stays as the honest
+    lower-bound counterpart)."""
+    exact = clustered_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = ann_clustered_topk(spark, sf_dir, n_tables=n_tables).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor_id")
+    )
+    hit = exact.join(
+        ann,
+        (exact.query_id == ann.query_id)
+        & (exact.neighbor_id == ann.ann_neighbor_id),
+        "left",
+    ).select(
+        exact.query_id.alias("qid"),
+        F.col("ann_neighbor_id").isNotNull().cast("int").alias("hit"),
+    )
+    return hit.groupBy(F.col("qid").alias("query_id")).agg(
+        F.round(F.sum("hit") / F.count("*"), 6).alias("recall")
+    )
+
+
+_DUCK_CLUSTERED_EXACT = f"""
+pairs_x AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.v, b.v) AS cos_sim
+  FROM cemb a JOIN cemb b
+    ON a.vec_id % {CL_ID_STRIDE} = 0 AND a.vec_id != b.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM pairs_x
+  ) WHERE rank <= {TOP_K}
+)
+"""
+
+ANN_RECALL_CLUSTERED_SQL = (
+    _DUCK_CLUSTERED_CTE
+    + f""",
+tb AS ({{tb}}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM tb a JOIN tb b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+  WHERE a.vec_id % {CL_ID_STRIDE} = 0
+),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qa.v, qb.v) AS cos_sim
+  FROM cand
+  JOIN cemb qa ON qa.vec_id = query_id
+  JOIN cemb qb ON qb.vec_id = neighbor_id
+),
+ann AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM pairs
+  ) WHERE rank <= {TOP_K}
+),
+{_DUCK_CLUSTERED_EXACT.strip().lstrip()}
+SELECT exact.query_id,
+       round(CAST(sum(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS recall
+FROM exact LEFT JOIN ann
+  ON exact.query_id = ann.query_id AND exact.neighbor_id = ann.neighbor_id
+GROUP BY exact.query_id
+""".replace("{tb}", _duck_clustered_buckets())
+)
+
+
 NEARDUP_SEEDS = 20  # plant scaled copies of the first N vectors
 NEARDUP_ID_OFFSET = 1_000_000
 
@@ -396,6 +671,8 @@ QUERIES = {
     "ann_recall_at_k": ann_recall_at_k,
     "ann_multiprobe_topk": ann_multiprobe_topk,
     "ann_multiprobe_recall": ann_multiprobe_recall,
+    "ann_clustered_topk": ann_clustered_topk,
+    "ann_recall_clustered": ann_recall_clustered,
     "embedding_neardup_cosine": embedding_neardup_cosine,
 }
 
@@ -406,5 +683,7 @@ ORACLES = {
     "ann_recall_at_k": ANN_RECALL_SQL,
     "ann_multiprobe_topk": ANN_MULTIPROBE_SQL,
     "ann_multiprobe_recall": ANN_MULTIPROBE_RECALL_SQL,
+    "ann_clustered_topk": ANN_CLUSTERED_TOPK_SQL,
+    "ann_recall_clustered": ANN_RECALL_CLUSTERED_SQL,
     "embedding_neardup_cosine": EMBEDDING_NEARDUP_SQL,
 }
