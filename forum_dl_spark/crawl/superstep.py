@@ -640,8 +640,12 @@ def run_crawl_shared(
       segment, so emission order is (seed, per-seed DFS order) and each
       seed's subtree ordering is bit-identical to its standalone run.
 
-    Engines with driver wave hooks (post_wave/finalize — hackernews) are
-    not supported in shared mode; use run_crawl_multi for those.
+    Engines with driver wave hooks (hackernews) participate through their
+    ``post_wave_shared`` / ``finalize_shared`` variants: the loop invokes
+    them per hooked seed with the seed's ord prefix, so hook-generated
+    frontier rows and reconstructed trace ords sort into that seed's
+    subtree exactly as in a standalone run. A hooked engine WITHOUT the
+    _shared variants still raises (use run_crawl_multi).
     """
     config = config or CrawlConfig()
     _validate_config(config)
@@ -657,6 +661,10 @@ def run_crawl_shared(
     seen_bases: set[tuple[str, str]] = set()
     engines_used: list[str] = []
     robots_hosts: list[tuple[str, str]] = []
+    # seeds whose engine needs driver wave hooks (hackernews): the loop
+    # invokes <engine>.post_wave_shared / finalize_shared per seed with the
+    # seed's ord prefix, so hook-generated rows sort into the seed's subtree
+    hooked_seeds: list[dict] = []
     for si, seed_url in enumerate(seed_urls):
         det = detect_engine(server, seed_url)
         if det is None:
@@ -665,16 +673,28 @@ def run_crawl_shared(
             continue  # duplicate seed: redundant under the shared seen set
         seen_bases.add((det.engine, det.base_url))
         engine_mod = ENGINES[det.engine]
-        if hasattr(engine_mod, "post_wave") or hasattr(engine_mod, "finalize"):
+        if hasattr(engine_mod, "post_wave") and not hasattr(
+            engine_mod, "post_wave_shared"
+        ):
             raise NotImplementedError(
                 f"shared-frontier mode does not support engine "
-                f"{det.engine!r} (driver wave hooks); use run_crawl_multi"
+                f"{det.engine!r} (driver wave hooks without a _shared "
+                f"variant); use run_crawl_multi"
             )
         from urllib.parse import urlparse as _urlparse
 
         u = _urlparse(seed_url)
         robots_hosts.append((u.netloc, u.scheme or "https"))
         pre = f"{si:08x}"
+        if hasattr(engine_mod, "post_wave_shared"):
+            hooked_seeds.append(
+                {
+                    "pre": pre,
+                    "engine": det.engine,
+                    "seed_url": seed_url,
+                    "base_url": det.base_url,
+                }
+            )
         plan = engine_mod.seed(
             det.base_url, len(det.fetches), det.fetches, seed_url=seed_url
         )
@@ -828,6 +848,7 @@ def run_crawl_shared(
                 "base_url": seed_urls[0],
                 "engine": "shared",
                 "engines": engines_used,
+                "hooked_seeds": hooked_seeds,
                 "config": dataclasses.asdict(config),
             }
         )
@@ -899,6 +920,12 @@ def _loop(
         if hb.get("crawl_delay"):
             h = _hk(hb["host"])
             delay_hosts[h] = max(delay_hosts.get(h, 0.0), float(hb["crawl_delay"]))
+    # shared crawls carry per-seed driver-hook contexts in meta.json
+    hooked_seeds: list[dict] = []
+    if engine == "shared":
+        meta_path = wd / "meta.json"
+        if meta_path.exists():
+            hooked_seeds = json.loads(meta_path.read_text()).get("hooked_seeds", [])
     seen_total = _read_seen_sofar(spark, wd, start_step).count()
     frontier = spark.read.parquet(str(wd / "steps" / f"{start_step - 1:05d}" / "frontier"))
 
@@ -1054,10 +1081,16 @@ def _loop(
                 step_dir / "seen_compact",
             )
         # engine-specific driver hook (e.g. hackernews descending id scan);
-        # "shared" (multi-seed) crawls admit only hook-free engines
+        # shared (multi-seed) crawls dispatch the per-seed _shared variant
+        # with the seed's ord prefix instead
         engine_mod = ENGINES.get(engine)
         if hasattr(engine_mod, "post_wave"):
             next_frontier = engine_mod.post_wave(spark, wd, step, parsed, next_frontier)
+        for hs in hooked_seeds:
+            next_frontier = ENGINES[hs["engine"]].post_wave_shared(
+                spark, wd, step, parsed, next_frontier,
+                pre=hs["pre"], seed_url=hs["seed_url"],
+            )
         _atomic_write(next_frontier, step_dir / "frontier")
 
         rec_counts = {r["rec"]: r["count"] for r in parsed.groupBy("rec").agg(F.count("*").alias("count")).collect()}
@@ -1122,6 +1155,11 @@ def _loop(
     engine_mod = ENGINES.get(engine)
     if hasattr(engine_mod, "finalize"):
         engine_mod.finalize(spark, wd, base_url, step)
+        step += 1
+    for hs in hooked_seeds:
+        ENGINES[hs["engine"]].finalize_shared(
+            spark, wd, hs["base_url"], step, pre=hs["pre"]
+        )
         step += 1
 
     return CrawlResult(

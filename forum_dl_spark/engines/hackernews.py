@@ -274,29 +274,47 @@ def _parse_list_item(row: dict, body: bytes, resp_url: str):
 # ---------------------------------------------------------------------------
 
 
-def _scan_rows(max_id: int, next_id: int, lo: int) -> list[dict]:
+def _scan_rows(max_id: int, next_id: int, lo: int, pre: str = "") -> list[dict]:
     rows = []
     for i in range(next_id, lo - 1, -1):
         rows.append(
             _row(_item_url(i), "hn_item",
                  {"mode": "full", "scan": "1", "halt_batch_on": "null_body"},
-                 child(SCAN_ORD, max_id - i) + "ffffffff")  # provisional
+                 pre + child(SCAN_ORD, max_id - i) + "ffffffff")  # provisional
         )
     return rows
 
 
 def post_wave(spark, wd: Path, step: int, parsed, next_frontier):
     """Drives the descending id scan and applies null-abort truncation."""
+    meta = json.loads((Path(wd) / "meta.json").read_text())
+    return _post_wave(spark, wd, step, parsed, next_frontier,
+                      seed_url=meta.get("seed_url", ""), pre="")
+
+
+def post_wave_shared(spark, wd: Path, step: int, parsed, next_frontier,
+                     pre: str, seed_url: str):
+    """Shared-frontier variant: same scan driver, but every generated ord
+    carries the seed's per-seed prefix ``pre`` (so emission order stays
+    (seed, per-seed order)) and the scan state lives in a per-seed file.
+    At most one HN seed exists per shared crawl (duplicate (engine,
+    base_url) seeds collapse at seeding time), so scan filters keyed on
+    p_kind cannot cross-talk."""
+    return _post_wave(spark, wd, step, parsed, next_frontier,
+                      seed_url=seed_url, pre=pre)
+
+
+def _post_wave(spark, wd: Path, step: int, parsed, next_frontier,
+               seed_url: str, pre: str):
     from pyspark.sql import functions as F
 
-    meta = json.loads((Path(wd) / "meta.json").read_text())
-    seed_path = urlparse(meta.get("seed_url", "")).path
+    seed_path = urlparse(seed_url or "").path
     if _LIST_URLS.get(seed_path.rstrip() or "/"):
         return next_frontier  # list mode: no id scan
     if seed_path == "/item":
         return next_frontier  # thread seed: walk+BFS frontier, no id scan
 
-    state_path = Path(wd) / "hn_scan.json"
+    state_path = Path(wd) / (f"hn_scan_{pre}.json" if pre else "hn_scan.json")
     state = json.loads(state_path.read_text()) if state_path.exists() else None
 
     if state is None:
@@ -331,7 +349,8 @@ def post_wave(spark, wd: Path, step: int, parsed, next_frontier):
         # fetched by the reference (common.py:334-346 ends the scan)
         next_frontier = next_frontier.filter(
             ~(
-                (F.col("kind") == "hn_item")
+                (F.col("engine") == "hackernews")
+                & (F.col("kind") == "hn_item")
                 & F.col("state").getItem("scan").isNotNull()
             )
         )
@@ -370,7 +389,7 @@ def post_wave(spark, wd: Path, step: int, parsed, next_frontier):
             F.create_map(F.lit("mode"), F.lit("full"),
                          F.lit("targeted"), F.lit("1")).alias("state"),
             F.lit(KIND_PRIORITY["hn_item"]).alias("priority"),
-            F.concat(F.lit(child(SCAN_ORD, 0)), F.lit("ee"),
+            F.concat(F.lit(pre + child(SCAN_ORD, 0)), F.lit("ee"),
                      F.lpad(F.hex(F.col("rid")), 14, "0")).alias("ord"),
             F.lit(0).alias("attempt"),
             F.lit(1).alias("should_retry"),
@@ -393,7 +412,7 @@ def post_wave(spark, wd: Path, step: int, parsed, next_frontier):
                  r["url"], "", "hackernews", r["kind"], r["path"], r["page"],
                  r["state"], r["priority"], r["ord"], 0, r["should_retry"]]
             )
-            for r in _scan_rows(state["max_id"], state["next_id"], lo)
+            for r in _scan_rows(state["max_id"], state["next_id"], lo, pre=pre)
         ]
         from .. import schemas
         from ..crawl.superstep import _with_derived
@@ -426,12 +445,26 @@ _ITEM_FIELDS = "id LONG, parent LONG, kids ARRAY<LONG>, by STRING, time LONG, te
 
 def finalize(spark, wd: Path, base_url: str, next_step: int) -> None:
     """Reconstruct threads, reference-trace ords and seen evictions."""
+    _finalize(spark, wd, base_url, next_step, pre="")
+
+
+def finalize_shared(spark, wd: Path, base_url: str, next_step: int,
+                    pre: str) -> None:
+    """Shared-frontier finalize: reconstructed trace ords carry the seed's
+    prefix, scan state comes from the per-seed file. ord_fix joins by URL,
+    which stays unambiguous because a shared crawl admits at most one HN
+    seed (duplicate (engine, base_url) seeds collapse)."""
+    _finalize(spark, wd, base_url, next_step, pre=pre)
+
+
+def _finalize(spark, wd: Path, base_url: str, next_step: int, pre: str) -> None:
     from pyspark.sql import functions as F
 
     from .. import schemas
     from ..crawl.superstep import _atomic_write
 
-    if not (Path(wd) / "hn_scan.json").exists():
+    state_file = Path(wd) / (f"hn_scan_{pre}.json" if pre else "hn_scan.json")
+    if not state_file.exists():
         return  # list mode: items were emitted inline
     if list(Path(wd, "steps").glob("*/ord_fix")):
         return  # already finalized (resume path)
@@ -476,7 +509,7 @@ def finalize(spark, wd: Path, base_url: str, next_step: int) -> None:
         labels = labels.unionByName(nxt)
         frontier_lbl = nxt
 
-    state = json.loads((Path(wd) / "hn_scan.json").read_text())
+    state = json.loads(state_file.read_text())
     abort_id = int(state.get("abort") or 0)
 
     member = df.join(labels, "id", "left")
@@ -500,7 +533,7 @@ def finalize(spark, wd: Path, base_url: str, next_step: int) -> None:
         rank = int(pdf["rank"].iloc[0])
         tmax_id = int(pdf["tmax"].iloc[0])
         root = int(pdf["root"].iloc[0])
-        t_k = child(SCAN_ORD, rank)
+        t_k = pre + child(SCAN_ORD, rank)
         by_id = {int(r["id"]): r for _, r in pdf.iterrows()}
         payload = {
             i: (json.loads(r["body"]) if r["body"] != "null" else None)
@@ -571,7 +604,7 @@ def finalize(spark, wd: Path, base_url: str, next_step: int) -> None:
     fix = assembled.filter(F.col("rec") == "fix").select("url", "ord", "evict")
     if abort_id:
         abort_fix = spark.createDataFrame(
-            [(_item_url(abort_id), child(SCAN_ORD, n_triggered), 0)],
+            [(_item_url(abort_id), pre + child(SCAN_ORD, n_triggered), 0)],
             ["url", "ord", "evict"],
         )
         fix = fix.unionByName(abort_fix)

@@ -29,6 +29,9 @@ SITE = "https://news.ycombinator.com"
 
 class SyntheticHackerNews:
     base_url = SITE + "/"
+    # every netloc this fixture answers for (MultiHost routing): the HN
+    # engine fetches from the Firebase API host, not the site host
+    extra_hosts = ("hacker-news.firebaseio.com",)
 
     def __init__(self, seed: int = 42, n_items: int = 120,
                  allow_nulls: bool = False,

@@ -12,6 +12,9 @@ class MultiHost:
 
     def __init__(self, *servers):
         self._by_host = {urlparse(s.base_url).netloc: s for s in servers}
+        for s in servers:  # fixtures may answer for extra hosts (HN API)
+            for h in getattr(s, "extra_hosts", ()):
+                self._by_host[h] = s
 
     def get(self, url: str, params=None, attempt: int = 0):
         srv = self._by_host.get(urlparse(url).netloc)

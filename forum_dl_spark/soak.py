@@ -38,16 +38,12 @@ BASE = "https://forum.example/"
 TOPICS_PER_CAT = 999
 
 
-def run_soak(
-    spark,
-    n_pages: int,
-    budget: int,
-    workdir: str,
-    compact_every: int = 16,
-    use_bloom: bool | None = None,
-) -> dict:
+def soak_server(n_pages: int) -> SyntheticDiscourse:
+    """The soak fixture: a Discourse forum sized to ~n_pages thread pages
+    (shared with the resume-under-soak test, which needs the same server
+    for its killed + resumed runs)."""
     n_cats = max(1, (n_pages + TOPICS_PER_CAT - 1) // TOPICS_PER_CAT)
-    srv = SyntheticDiscourse(
+    return SyntheticDiscourse(
         seed=7,
         n_cats=n_cats,
         n_subcats=0,
@@ -56,6 +52,17 @@ def run_soak(
         topics_per_page=50,
         duplicate_topic=False,
     )
+
+
+def run_soak(
+    spark,
+    n_pages: int,
+    budget: int,
+    workdir: str,
+    compact_every: int = 16,
+    use_bloom: bool | None = None,
+) -> dict:
+    srv = soak_server(n_pages)
     t0 = time.time()
     res = run_crawl(
         spark,

@@ -128,15 +128,60 @@ def test_shared_frontier_per_host_fairness(spark, tmp_path):
     assert hosts_in_first == {"phpbb.example", "forum.example"}
 
 
-def test_shared_frontier_rejects_hooked_engines(spark, tmp_path):
+def test_shared_frontier_with_hackernews_hooked_engine(spark, tmp_path):
+    """Round-4 ask: hooked engines join the shared frontier. A phpBB seed
+    and a full-scan HN seed share one frontier/seen set; HN's driver-hook
+    waves (descending id scan via post_wave_shared) and trace
+    reconstruction (finalize_shared) carry the seed's ord prefix, so each
+    seed's subtree — items AND fetch trace — is bit-identical to its
+    standalone run."""
     from forum_dl_spark.fixtures.hackernews import SyntheticHackerNews
 
-    srv = SyntheticHackerNews(seed=42, n_items=20)
-    with pytest.raises(NotImplementedError):
-        run_crawl_shared(
-            spark, srv, ["https://news.ycombinator.com/"],
-            str(tmp_path / "hn_shared"),
-        )
+    phpbb = SyntheticPhpbb(seed=42, n_cats=1, n_subs=1, n_topics=2, max_posts=4)
+    hn = SyntheticHackerNews(seed=42, n_items=60)
+    srv = _MultiHost(phpbb, hn)
+    seeds = ["https://phpbb.example/", "https://news.ycombinator.com/"]
+    shared = run_crawl_shared(spark, srv, seeds, str(tmp_path / "hn_shared"))
+    got = _seed_items(shared, strip_prefix=True)
+    assert sorted(got) == ["00000000", "00000001"]
+    shared_pages = [
+        (r["ord"][:8], r["ord"][8:], r["url"], r["params"] or "")
+        for r in shared.pages().orderBy("ord", "attempt").collect()
+    ]
+    for i, seed in enumerate(seeds):
+        solo = run_crawl(spark, srv, seed, str(tmp_path / f"hsolo{i}"),
+                         CrawlConfig())
+        assert got[f"{i:08x}"] == _seed_items(solo, strip_prefix=False)["-"]
+        want_trace = [
+            (r["ord"], r["url"], r["params"] or "")
+            for r in solo.pages().orderBy("ord", "attempt").collect()
+        ]
+        got_trace = [
+            (o, u, p) for pre, o, u, p in shared_pages if pre == f"{i:08x}"
+        ]
+        assert got_trace == want_trace
+        # shared seen set covers the solo run's (HN walk evictions incl.)
+        solo_seen = {(r["seen_key"], r["status"]) for r in solo.seen().collect()}
+        shared_seen = {(r["seen_key"], r["status"]) for r in shared.seen().collect()}
+        assert solo_seen <= shared_seen
+
+
+def test_shared_frontier_hackernews_null_abort(spark, tmp_path):
+    """The HN null-abort quirk (a deleted item ends the scan) survives the
+    shared frontier: the shared run's HN subtree equals the standalone
+    aborted run, and the phpBB seed is untouched by the truncation."""
+    from forum_dl_spark.fixtures.hackernews import SyntheticHackerNews
+
+    phpbb = SyntheticPhpbb(seed=42, n_cats=1, n_subs=1, n_topics=2, max_posts=4)
+    hn = SyntheticHackerNews(seed=42, n_items=60, allow_nulls=True)
+    srv = _MultiHost(phpbb, hn)
+    seeds = ["https://news.ycombinator.com/", "https://phpbb.example/"]
+    shared = run_crawl_shared(spark, srv, seeds, str(tmp_path / "hn_null"))
+    got = _seed_items(shared, strip_prefix=True)
+    for i, seed in enumerate(seeds):
+        solo = run_crawl(spark, srv, seed, str(tmp_path / f"nsolo{i}"),
+                         CrawlConfig())
+        assert got[f"{i:08x}"] == _seed_items(solo, strip_prefix=False)["-"]
 
 
 def test_cli_shared_frontier_flag(spark, tmp_path):
