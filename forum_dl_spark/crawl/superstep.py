@@ -1152,15 +1152,21 @@ def _loop(
         prev_frontier_size = frontier_size
         step += 1
 
-    engine_mod = ENGINES.get(engine)
-    if hasattr(engine_mod, "finalize"):
-        engine_mod.finalize(spark, wd, base_url, step)
-        step += 1
-    for hs in hooked_seeds:
-        ENGINES[hs["engine"]].finalize_shared(
-            spark, wd, hs["base_url"], step, pre=hs["pre"]
-        )
-        step += 1
+    # finalize ONLY when the crawl actually drained its frontier: a run
+    # killed by max_supersteps must NOT freeze a premature ord_fix — the
+    # resume (which skips finalize when ord_fix exists) would otherwise
+    # inherit trace positions reconstructed from a half-fetched graph
+    completed = frontier.isEmpty()
+    if completed:
+        engine_mod = ENGINES.get(engine)
+        if hasattr(engine_mod, "finalize"):
+            engine_mod.finalize(spark, wd, base_url, step)
+            step += 1
+        for hs in hooked_seeds:
+            ENGINES[hs["engine"]].finalize_shared(
+                spark, wd, hs["base_url"], step, pre=hs["pre"]
+            )
+            step += 1
 
     return CrawlResult(
         workdir=str(wd),

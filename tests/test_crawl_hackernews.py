@@ -79,6 +79,34 @@ def test_full_crawl_null_abort(spark, tmp_path):
     _assert_match(crawl, oracle)
 
 
+def test_kill_resume_bit_identical(spark, tmp_path):
+    """A scan-mode crawl killed by max_supersteps must NOT run finalize
+    (trace reconstruction over a half-fetched graph would freeze premature
+    ords that resume then skips); finalize runs once when the resumed
+    crawl actually drains, and the result equals the uninterrupted run."""
+    import dataclasses
+
+    from forum_dl_spark.crawl import resume_crawl
+
+    srv = SyntheticHackerNews(seed=42, n_items=60)
+    oracle = run_reference_hackernews(srv, SEED)
+    full = run_crawl(spark, srv, SEED, str(tmp_path / "hn_full"), CrawlConfig())
+    kill_wd = str(tmp_path / "hn_kill")
+    # kill after wave 1 (maxitem fetched, the injected scan batch still
+    # pending) — the 60-item fixture drains by wave ~3, so a later cap
+    # would not actually interrupt the crawl
+    killed = run_crawl(spark, srv, SEED, kill_wd,
+                       CrawlConfig(max_supersteps=2))
+    from pathlib import Path
+
+    # the kill really interrupted it, and no premature finalize ran
+    assert killed.pages().count() < full.pages().count()
+    assert not list(Path(kill_wd, "steps").glob("*/ord_fix"))
+    resumed = resume_crawl(spark, srv, kill_wd)
+    _assert_match(resumed, oracle)
+    _assert_match(full, oracle)
+
+
 def test_list_mode_threads_only(spark, tmp_path):
     srv = SyntheticHackerNews(seed=42, n_items=120)
     oracle = run_reference_hackernews_list(srv, "top")

@@ -166,6 +166,36 @@ def test_shared_frontier_with_hackernews_hooked_engine(spark, tmp_path):
         assert solo_seen <= shared_seen
 
 
+def test_shared_frontier_hackernews_resume(spark, tmp_path):
+    """Kill-and-resume holds for hooked shared crawls: a shared phpBB+HN
+    crawl killed mid-scan resumes bit-identical (the per-seed hook
+    contexts travel in meta.json, the per-seed scan state in its own
+    file, and finalize runs once on the completed run)."""
+    import dataclasses
+
+    from forum_dl_spark.crawl import resume_crawl
+    from forum_dl_spark.fixtures.hackernews import SyntheticHackerNews
+
+    phpbb = SyntheticPhpbb(seed=42, n_cats=1, n_subs=1, n_topics=2, max_posts=4)
+    hn = SyntheticHackerNews(seed=42, n_items=40)
+    srv = _MultiHost(phpbb, hn)
+    seeds = ["https://phpbb.example/", "https://news.ycombinator.com/"]
+    full = run_crawl_shared(spark, srv, seeds, str(tmp_path / "hr_full"))
+    kill_wd = str(tmp_path / "hr_kill")
+    run_crawl_shared(spark, srv, seeds, kill_wd,
+                     CrawlConfig(max_supersteps=4))
+    resumed = resume_crawl(spark, srv, kill_wd)
+
+    def _tables(res):
+        trace = [(r["ord"], r["url"], r["params"] or "")
+                 for r in res.pages().orderBy("ord", "attempt").collect()]
+        seen = {(r["seen_key"], r["status"]) for r in res.seen().collect()}
+        items = _seed_items(res, strip_prefix=True)
+        return trace, seen, items
+
+    assert _tables(resumed) == _tables(full)
+
+
 def test_shared_frontier_hackernews_null_abort(spark, tmp_path):
     """The HN null-abort quirk (a deleted item ends the scan) survives the
     shared frontier: the shared run's HN subtree equals the standalone
