@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "ann_clustered_topk",
     "ann_recall_clustered",
     "dedup_apply",
+    "quality_filter_apply",
     "stream_dedup_exact",
     "stream_sessionize",
 ]

@@ -304,6 +304,27 @@ def post_wave_shared(spark, wd: Path, step: int, parsed, next_frontier,
                       seed_url=seed_url, pre=pre)
 
 
+def _scan_state_name(pre: str) -> str:
+    return f"hn_scan_{pre}.json" if pre else "hn_scan.json"
+
+
+def _read_scan_state(wd: Path, pre: str) -> dict | None:
+    """Latest scan state from the COMPLETED step checkpoints.
+
+    The state file lives INSIDE the step dir it was advanced in, so it
+    commits or dies atomically with that step: a crash between the state
+    write and the step's ``_COMPLETE`` marker leaves a dir that resume
+    purges — state included — instead of an orphaned workdir-level file
+    whose ``next_id`` had advanced past waves that never checkpointed
+    (which would silently drop scan rows on resume)."""
+    name = _scan_state_name(pre)
+    cands = sorted(Path(wd, "steps").glob(f"*/{name}"))
+    if cands:
+        return json.loads(cands[-1].read_text())
+    legacy = Path(wd) / name  # pre-round-4 checkpoint layout
+    return json.loads(legacy.read_text()) if legacy.exists() else None
+
+
 def _post_wave(spark, wd: Path, step: int, parsed, next_frontier,
                seed_url: str, pre: str):
     from pyspark.sql import functions as F
@@ -314,8 +335,8 @@ def _post_wave(spark, wd: Path, step: int, parsed, next_frontier,
     if seed_path == "/item":
         return next_frontier  # thread seed: walk+BFS frontier, no id scan
 
-    state_path = Path(wd) / (f"hn_scan_{pre}.json" if pre else "hn_scan.json")
-    state = json.loads(state_path.read_text()) if state_path.exists() else None
+    state_path = Path(wd) / "steps" / f"{step:05d}" / _scan_state_name(pre)
+    state = _read_scan_state(wd, pre)
 
     if state is None:
         mx = (
@@ -463,8 +484,8 @@ def _finalize(spark, wd: Path, base_url: str, next_step: int, pre: str) -> None:
     from .. import schemas
     from ..crawl.superstep import _atomic_write
 
-    state_file = Path(wd) / (f"hn_scan_{pre}.json" if pre else "hn_scan.json")
-    if not state_file.exists():
+    state = _read_scan_state(wd, pre)
+    if state is None:
         return  # list mode: items were emitted inline
     if list(Path(wd, "steps").glob("*/ord_fix")):
         return  # already finalized (resume path)
@@ -509,7 +530,6 @@ def _finalize(spark, wd: Path, base_url: str, next_step: int, pre: str) -> None:
         labels = labels.unionByName(nxt)
         frontier_lbl = nxt
 
-    state = json.loads(state_file.read_text())
     abort_id = int(state.get("abort") or 0)
 
     member = df.join(labels, "id", "left")

@@ -305,9 +305,55 @@ GROUP BY source, lang
 """
 
 
+# C4-style corpus gates (Raffel et al. 2020 §2.2 in spirit: length bounds,
+# alphabetic density, a natural-language stopword floor) — thresholds are
+# integer-ratio comparisons on ROUNDED values so both engines decide each
+# row identically (no FP-boundary drift)
+QF_MIN_CHARS = 100
+QF_MAX_CHARS = 20_000
+QF_MIN_ALPHA = 0.6
+QF_MIN_STOPWORD = 0.02
+
+
+def quality_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-corpus EMIT (companion to ``pipeline.dedup_apply``): keep
+    docs passing the C4-style quality gates and return the surviving rows.
+    One narrow projection + filter over the documents scan — no shuffle,
+    no join; at 100 TB this is a map-only pass whose predicate pushes into
+    the scan."""
+    d = _docs(spark, sf_dir)
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    stop = F.expr(
+        "size(filter(split(lower(text), '\\\\s+'),"
+        " x -> x in ('the','a','and','of','to','in')))"
+    )
+    n_tok = F.expr(r"size(filter(split(text, '\\s+'), x -> x != ''))")
+    keep = (
+        (F.round(alpha / F.greatest(n, F.lit(1)), 6) >= QF_MIN_ALPHA)
+        & (F.round(stop / F.greatest(n_tok, F.lit(1)), 6) >= QF_MIN_STOPWORD)
+        & n.between(QF_MIN_CHARS, QF_MAX_CHARS)
+    )
+    return d.filter(keep).select("doc_id", "lang", "source", "n_chars")
+
+
+QUALITY_FILTER_SQL = rf"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+            / greatest(length(text), 1), 6) >= {QF_MIN_ALPHA}
+  AND round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x in ('the','a','and','of','to','in')))
+            / greatest(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x != '')), 1), 6)
+      >= {QF_MIN_STOPWORD}
+  AND length(text) BETWEEN {QF_MIN_CHARS} AND {QF_MAX_CHARS}
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
+    "quality_filter_apply": quality_filter_apply,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "spans_interleave": spans_interleave,
@@ -318,6 +364,7 @@ QUERIES = {
 ORACLES = {
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
+    "quality_filter_apply": QUALITY_FILTER_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "spans_interleave": SPANS_INTERLEAVE_SQL,

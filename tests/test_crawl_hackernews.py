@@ -107,6 +107,30 @@ def test_kill_resume_bit_identical(spark, tmp_path):
     _assert_match(full, oracle)
 
 
+def test_crash_rollback_resume_bit_identical(spark, tmp_path):
+    """Crash-at-arbitrary-wave: roll a finished scan crawl back to wave K
+    by deleting every later step checkpoint (what resume's incomplete-dir
+    purge produces after a mid-write crash) and resume. The scan driver
+    state lives INSIDE each step dir, so the rollback rewinds next_id with
+    the steps — a workdir-level state file would stay advanced and the
+    resumed crawl would silently drop the un-checkpointed scan rows."""
+    import shutil
+    from pathlib import Path
+
+    from forum_dl_spark.crawl import resume_crawl
+
+    srv = SyntheticHackerNews(seed=42, n_items=60, allow_nulls=True)
+    oracle = run_reference_hackernews(srv, SEED)
+    wd = str(tmp_path / "hn_crash")
+    run_crawl(spark, srv, SEED, wd, CrawlConfig())
+    steps = sorted(Path(wd, "steps").glob("*"))
+    assert len(steps) >= 4
+    for p in steps[2:]:  # keep waves 0-1 (maxitem + scan injection)
+        shutil.rmtree(p)
+    resumed = resume_crawl(spark, srv, wd)
+    _assert_match(resumed, oracle)
+
+
 def test_list_mode_threads_only(spark, tmp_path):
     srv = SyntheticHackerNews(seed=42, n_items=120)
     oracle = run_reference_hackernews_list(srv, "top")
