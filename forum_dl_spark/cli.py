@@ -92,6 +92,15 @@ def build_parser() -> argparse.ArgumentParser:
                           help="Crawl all URLs with ONE shared frontier + "
                                "seen set (scale mode; default is the "
                                "reference's fresh-session-per-URL)")
+    sparkgrp.add_argument("--seen-sketch", choices=("bloom", "cuckoo"),
+                          default="bloom",
+                          help="Prefilter sketch for the URL-seen anti-join "
+                               "once it auto-engages (cuckoo supports "
+                               "deletion and tracks the exact gating set)")
+    sparkgrp.add_argument("--salt-pop", type=int, default=0, metavar="S",
+                          help="Salted two-phase per-host pop: rank within "
+                               "S salt partitions before the exact re-rank "
+                               "(skew defense for mega-hosts; 0 = off)")
 
     p.add_argument("urls", metavar="URL", nargs="*")
     return p
@@ -200,7 +209,8 @@ def download(urls: list[str], args, server=None, spark=None) -> list[str]:
         root = args.workdir or tempfile.mkdtemp(prefix="forum_dl_spark_")
         res = run_crawl_shared(
             spark, srv, urls, f"{root}/crawl-shared",
-            CrawlConfig(retries=args.retries),
+            CrawlConfig(retries=args.retries, sketch=args.seen_sketch,
+                        salt_pop=args.salt_pop),
         )
         if getattr(args, "get_urls", False):
             for row in (res.pages().orderBy("ord", "attempt").select("url")
@@ -223,7 +233,8 @@ def download(urls: list[str], args, server=None, spark=None) -> list[str]:
         try:
             res = run_crawl(
                 spark, srv, url, f"{root}/crawl-{i:03d}",
-                CrawlConfig(retries=args.retries),
+                CrawlConfig(retries=args.retries, sketch=args.seen_sketch,
+                        salt_pop=args.salt_pop),
             )
         except ValueError as e:
             # no engine detected — the reference skips silently

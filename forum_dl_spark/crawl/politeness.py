@@ -50,27 +50,66 @@ def apply_robots(candidates: DataFrame, host_budgets: DataFrame) -> DataFrame:
 
 
 def budgeted_pop(frontier: DataFrame, host_budgets: DataFrame | None,
-                 default_budget: int | None) -> tuple[DataFrame, DataFrame]:
-    """(popped, remaining) under per-host budgets; None budget = pop all."""
+                 default_budget: int | None,
+                 salts: int = 0) -> tuple[DataFrame, DataFrame]:
+    """(popped, remaining) under per-host budgets; None budget = pop all.
+
+    ``salts > 0`` enables the SALTED two-phase pop (north-rule skew
+    defense at 10^10-frontier scale): a mega-host's frontier rows would
+    otherwise all land in ONE window partition and the per-host
+    ``row_number`` sort becomes a straggler task. Phase 1 ranks within
+    ``(host, salt)`` — ``salts`` parallel partitions per host, each
+    keeping its local top-B — and phase 2 re-ranks only the <= salts*B
+    survivors per host. Any row in a host's global top-B is necessarily
+    in its own salt partition's top-B, so the popped/remaining SETS are
+    exactly the unsalted result (pinned by tests/test_salted_pop.py);
+    what changes is the heavy sort's partition count. The salt key is
+    ``xxhash64(ord)`` — deterministic, uniform, independent of host."""
     from pyspark.sql import Window
 
     if host_budgets is None and default_budget is None:
         empty = frontier.limit(0)
         return frontier, empty
+
+    def _with_budget(df: DataFrame) -> DataFrame:
+        if host_budgets is not None:
+            return df.join(
+                F.broadcast(
+                    host_budgets.select(
+                        F.col("host"),
+                        F.col("max_fetches_per_superstep").alias("_budget"),
+                    )
+                ),
+                "host",
+                "left",
+            ).withColumn(
+                "_budget",
+                F.coalesce(F.col("_budget"), F.lit(default_budget or 2**31 - 1)),
+            )
+        return df.withColumn("_budget", F.lit(default_budget))
+
+    if salts and salts > 1:
+        salted = _with_budget(frontier).withColumn(
+            "_salt", F.pmod(F.xxhash64("ord"), F.lit(salts)).cast("int")
+        )
+        w1 = Window.partitionBy("host", "_salt").orderBy("priority", "ord")
+        local = salted.withColumn("_lrn", F.row_number().over(w1))
+        survivors = local.filter(F.col("_lrn") <= F.col("_budget"))
+        dropped1 = local.filter(F.col("_lrn") > F.col("_budget")).drop(
+            "_lrn", "_salt", "_budget"
+        )
+        w2 = Window.partitionBy("host").orderBy("priority", "ord")
+        ranked = survivors.withColumn("_rn", F.row_number().over(w2))
+        popped = ranked.filter(F.col("_rn") <= F.col("_budget")).drop(
+            "_rn", "_lrn", "_salt", "_budget"
+        )
+        dropped2 = ranked.filter(F.col("_rn") > F.col("_budget")).drop(
+            "_rn", "_lrn", "_salt", "_budget"
+        )
+        return popped, dropped1.unionByName(dropped2)
+
     w = Window.partitionBy("host").orderBy("priority", "ord")
-    ranked = frontier.withColumn("_rn", F.row_number().over(w))
-    if host_budgets is not None:
-        ranked = ranked.join(
-            F.broadcast(
-                host_budgets.select(
-                    F.col("host"), F.col("max_fetches_per_superstep").alias("_budget")
-                )
-            ),
-            "host",
-            "left",
-        ).withColumn("_budget", F.coalesce(F.col("_budget"), F.lit(default_budget or 2**31 - 1)))
-    else:
-        ranked = ranked.withColumn("_budget", F.lit(default_budget))
+    ranked = _with_budget(frontier).withColumn("_rn", F.row_number().over(w))
     popped = ranked.filter(F.col("_rn") <= F.col("_budget")).drop("_rn", "_budget")
     remaining = ranked.filter(F.col("_rn") > F.col("_budget")).drop("_rn", "_budget")
     return popped, remaining

@@ -96,6 +96,18 @@ class CrawlConfig:
     # long crawl re-opens every historical delta each wave (O(steps^2) file
     # opens over the crawl). 0 disables.
     compact_every: int = 16
+    # which prefilter sketch backs the seen anti-join when engaged:
+    # "bloom" (grow-only, crawl/bloom.py) or "cuckoo" (deletable
+    # fingerprints tracking exactly the gating set, crawl/cuckoo.py).
+    # Both paths are bit-identical to the exact join by test.
+    sketch: str = "bloom"
+    # salted two-phase budgeted pop (north-rule per-host skew defense):
+    # S > 1 splits each host's window rank across S salt partitions before
+    # the exact per-host re-rank — same popped/remaining SETS, but a
+    # mega-host's sort runs on S tasks instead of one straggler. 0/1 = off
+    # (fixture-scale hosts don't need it; a 10^10-frontier run sets S to
+    # ~frontier_rows_per_hot_host / target_partition_rows).
+    salt_pop: int = 0
 
 
 @dataclass
@@ -594,6 +606,10 @@ def _validate_config(config: CrawlConfig) -> None:
             )
     if config.shards < 1:
         raise ValueError("shards must be >= 1")
+    if config.sketch not in ("bloom", "cuckoo"):
+        raise ValueError(f"sketch must be 'bloom' or 'cuckoo' (got {config.sketch!r})")
+    if config.salt_pop < 0:
+        raise ValueError("salt_pop must be >= 0")
 
 
 def run_crawl_multi(
@@ -944,7 +960,9 @@ def _loop(
                 pd.DataFrame(effective_budgets(config.host_budgets, prev_wall)),
                 schemas.HOST_BUDGETS,
             )
-        popped, remaining = budgeted_pop(frontier, budgets_df, config.host_budget)
+        popped, remaining = budgeted_pop(
+            frontier, budgets_df, config.host_budget, salts=config.salt_pop
+        )
 
         # --- fused fetch+parse, materialized ONCE as the step's parsed delta.
         # Everything downstream (seen, frontier tail, metrics, and the
@@ -1041,7 +1059,37 @@ def _loop(
             if config.use_bloom is not None
             else seen_total >= BLOOM_AUTO_KEYS
         )
-        if use_bloom:
+        if use_bloom and config.sketch == "cuckoo":
+            # cuckoo prefilter (crawl/cuckoo.py): same no-false-negative
+            # (definitely_new, maybe_seen) contract as bloom, but the
+            # sketch tracks exactly the GATING set — evicted one-shot keys
+            # are never inserted — and supports deletion (TTL recrawl).
+            from .cuckoo import CuckooState
+            from .cuckoo import split_candidates as _cuckoo_split
+
+            def _gating_keys():
+                return (
+                    seen_sofar.filter(F.col("evict") == 0)
+                    .select("seen_key", "shard")
+                    .union(
+                        seen_delta.filter(F.col("evict") == 0)
+                        .select("seen_key", "shard")
+                    )
+                )
+
+            if (
+                bloom_state is None
+                or not isinstance(bloom_state, CuckooState)
+                or bloom_state.over_capacity()
+            ):
+                bloom_state = CuckooState.build(_gating_keys())
+            elif not bloom_state.update(seen_delta):
+                bloom_state = CuckooState.build(_gating_keys())  # kick limit
+            definitely_new, maybe = _cuckoo_split(
+                candidates, bloom_state.tables, bloom_state.n_buckets
+            )
+            gated = definitely_new.unionByName(_anti_join_gate(maybe, seen_all))
+        elif use_bloom:
             # bloom prefilter: definitely-new candidates skip the exact
             # anti-join; only the maybe-seen residue shuffles (crawl/bloom.py).
             # The sketch is INCREMENTAL: built once, then only the current
