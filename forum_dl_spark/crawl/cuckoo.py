@@ -15,7 +15,7 @@ adds over bloom:
 - **Bounded FP at high load** (~2*SLOTS/2^FP_BITS ≈ 1.2e-4 at 16-bit
   fingerprints) vs bloom's load-dependent curve.
 
-Partial-key cuckoo hashing (Fan et al., CoNLL'14 "Cuckoo Filter:
+Partial-key cuckoo hashing (Fan et al., CoNEXT'14 "Cuckoo Filter:
 Practically Better Than Bloom"): fingerprint fp = high bits of
 xxhash64(key) (0 reserved = empty slot), bucket i1 = h mod n, alternate
 i2 = i1 XOR (hash(fp) mod n) — i1 is recoverable from (i2, fp), which is
