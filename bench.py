@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "ann_recall_clustered",
     "dedup_apply",
     "quality_filter_apply",
+    "token_topk",
     "stream_dedup_exact",
     "stream_sessionize",
 ]

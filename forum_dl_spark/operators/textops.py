@@ -350,10 +350,58 @@ WHERE round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
 """
 
 
+VOCAB_TOP_K = 50
+
+
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-K tokens by DOCUMENT frequency (each doc
+    counts a token once), ties broken lexicographically — the first step
+    of vocab building / stopword-list induction over a corpus.
+
+    Scale shape: per-doc ``array_distinct`` runs inside the projection
+    (no doc_id-level shuffle), the DF count is one map-side-combined
+    aggregate on token, and the top-K is ``orderBy().limit(K)`` — a
+    TakeOrdered, not a global sort; the rank window then runs over K rows
+    only."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        F.explode(
+            F.expr(
+                r"array_distinct(filter(split(lower(text), '\\s+'), x -> x != ''))"
+            )
+        ).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("df"))
+    top = counts.orderBy(F.desc("df"), F.asc("token")).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.desc("df"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "df", "rank"
+    )
+
+
+TOKEN_TOPK_SQL = rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x != '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS df FROM tok GROUP BY token)
+SELECT token, df, rank FROM (
+  SELECT token, df,
+         row_number() OVER (ORDER BY df DESC, token ASC) AS rank
+  FROM counts
+) WHERE rank <= {VOCAB_TOP_K}
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
     "quality_filter_apply": quality_filter_apply,
+    "token_topk": token_topk,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "spans_interleave": spans_interleave,
@@ -365,6 +413,7 @@ ORACLES = {
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
     "quality_filter_apply": QUALITY_FILTER_SQL,
+    "token_topk": TOKEN_TOPK_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "spans_interleave": SPANS_INTERLEAVE_SQL,

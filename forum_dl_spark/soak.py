@@ -61,6 +61,8 @@ def run_soak(
     workdir: str,
     compact_every: int = 16,
     use_bloom: bool | None = None,
+    sketch: str = "bloom",
+    salt_pop: int = 0,
 ) -> dict:
     srv = soak_server(n_pages)
     t0 = time.time()
@@ -74,6 +76,8 @@ def run_soak(
             keep_bodies=False,
             compact_every=compact_every,
             use_bloom=use_bloom,
+            sketch=sketch,
+            salt_pop=salt_pop,
         ),
     )
     total_wall = time.time() - t0
@@ -130,6 +134,8 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=9_000)
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--sketch", choices=("bloom", "cuckoo"), default="bloom")
+    ap.add_argument("--salt-pop", type=int, default=0)
     args = ap.parse_args()
     spark = get_spark(
         app_name="soak",
@@ -137,7 +143,8 @@ def main() -> None:
         shuffle_partitions=2 * args.cores,
     )
     wd = args.workdir or tempfile.mkdtemp(prefix="soak_")
-    print(json.dumps(run_soak(spark, args.pages, args.budget, wd)))
+    print(json.dumps(run_soak(spark, args.pages, args.budget, wd,
+                              sketch=args.sketch, salt_pop=args.salt_pop)))
 
 
 if __name__ == "__main__":
