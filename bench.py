@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "dedup_apply",
     "quality_filter_apply",
     "token_topk",
+    "pack_sequences",
+    "pack_manifest",
+    "ivf_topk",
+    "ivf_recall",
     "stream_dedup_exact",
     "stream_sessionize",
 ]

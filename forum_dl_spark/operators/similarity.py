@@ -612,6 +612,158 @@ GROUP BY exact.query_id
 )
 
 
+# --- IVF (inverted-file) ANN on the clustered fixture ------------------------
+#
+# The second classic ANN scale path next to LSH: a coarse quantizer assigns
+# every vector to its nearest pivot ("cell"), queries probe the IVF_NPROBE
+# nearest cells and search exactly within them. In production the codebook
+# comes from k-means; here the deterministic stand-in for a CONVERGED
+# codebook is one sampled member vector per planted cluster (member
+# m=IVF_PIVOT_M — a data point, not the generating centroid, so the
+# quantizer is derived from the data exactly the way k-means output would
+# be). Near-1.0 recall on well-separated clusters is the CORRECT behavior
+# of IVF with a good codebook — the scale claim under eval is the candidate
+# bound: each query touches only its IVF_NPROBE probed cells
+# (~NPROBE*CL_MEMBERS vectors), never the full table. The pivot table is
+# tiny and BROADCAST; assignment is one narrow pass over the vectors.
+
+IVF_NPROBE = 2
+IVF_PIVOT_M = 17  # member index sampled as each cell's pivot
+
+
+def _ivf_scored(spark: SparkSession, sf_dir: str, queries_only: bool) -> DataFrame:
+    """(vec_id, v, pid, rn): every vector scored against every pivot,
+    ranked by cosine (rn=1 is the assignment; rn<=NPROBE the probe set)."""
+    from pyspark.sql import Window
+
+    e = _clustered_emb(spark, sf_dir)
+    if queries_only:
+        e = e.filter(F.col("vec_id") % CL_ID_STRIDE == 0)
+    piv = _clustered_emb(spark, sf_dir).filter(
+        F.col("vec_id") % CL_ID_STRIDE == IVF_PIVOT_M
+    ).select(F.expr(f"cast(vec_id div {CL_ID_STRIDE} as int)").alias("pid"), "v")
+    scored = e.alias("a").crossJoin(F.broadcast(piv).alias("b")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.v").alias("v"),
+        F.col("b.pid").alias("pid"),
+        F.expr(f"{_SPARK_DOT} / ({_SPARK_NORM_A} * {_SPARK_NORM_B})").alias("pcos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("pcos"), F.asc("pid"))
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN query path: probe the IVF_NPROBE nearest cells, exact cosine
+    top-k within them. Assignment is unique per vector (rn=1), so probed
+    cells are disjoint — no candidate dedup needed."""
+    from pyspark.sql import Window
+
+    assign = _ivf_scored(spark, sf_dir, queries_only=False).filter(
+        F.col("rn") == 1
+    ).select(F.col("vec_id").alias("neighbor_id"), F.col("v"), "pid")
+    probes = _ivf_scored(spark, sf_dir, queries_only=True).filter(
+        F.col("rn") <= IVF_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), F.col("v"), "pid")
+    pairs = probes.alias("a").join(
+        assign.alias("b"),
+        (F.col("a.pid") == F.col("b.pid"))
+        & (F.col("a.query_id") != F.col("b.neighbor_id")),
+    ).withColumn("cos_sim", F.expr(f"{_SPARK_DOT} / ({_SPARK_NORM_A} * {_SPARK_NORM_B})"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+_DUCK_IVF_CTES = f"""
+piv AS (
+  SELECT cast(vec_id // {CL_ID_STRIDE} AS int) AS pid, v
+  FROM cemb WHERE vec_id % {CL_ID_STRIDE} = {IVF_PIVOT_M}
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, v, pid FROM (
+    SELECT e.vec_id, e.v, p.pid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, p.v) DESC,
+                                       p.pid ASC) AS rn
+    FROM cemb e CROSS JOIN piv p
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v, pid FROM (
+    SELECT e.vec_id, e.v, p.pid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, p.v) DESC,
+                                       p.pid ASC) AS rn
+    FROM cemb e CROSS JOIN piv p
+    WHERE e.vec_id % {CL_ID_STRIDE} = 0
+  ) WHERE rn <= {IVF_NPROBE}
+),
+ivf_pairs AS (
+  SELECT q.query_id, a.neighbor_id,
+         list_cosine_similarity(q.v, a.v) AS cos_sim
+  FROM probes q JOIN assign a
+    ON q.pid = a.pid AND a.neighbor_id != q.query_id
+),
+ivf_topk AS (
+  SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM ivf_pairs
+  ) WHERE rank <= {TOP_K}
+)
+"""
+
+IVF_TOPK_SQL = (
+    _DUCK_CLUSTERED_CTE
+    + ",\n"
+    + _DUCK_IVF_CTES.strip()
+    + "\nSELECT query_id, neighbor_id, rank, cos_sim FROM ivf_topk"
+)
+
+
+def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF index vs exact brute force on the clustered
+    fixture — the IVF counterpart of ``ann_recall_clustered``."""
+    exact = clustered_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = ivf_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor_id")
+    )
+    hit = exact.join(
+        ann,
+        (exact.query_id == ann.query_id)
+        & (exact.neighbor_id == ann.ann_neighbor_id),
+        "left",
+    ).select(
+        exact.query_id.alias("qid"),
+        F.col("ann_neighbor_id").isNotNull().cast("int").alias("hit"),
+    )
+    return hit.groupBy(F.col("qid").alias("query_id")).agg(
+        F.round(F.sum("hit") / F.count("*"), 6).alias("recall")
+    )
+
+
+IVF_RECALL_SQL = (
+    _DUCK_CLUSTERED_CTE
+    + ",\n"
+    + _DUCK_IVF_CTES.strip()
+    + ",\n"
+    + _DUCK_CLUSTERED_EXACT.strip().lstrip()
+    + """
+SELECT exact.query_id,
+       round(CAST(sum(CASE WHEN ivf_topk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS recall
+FROM exact LEFT JOIN ivf_topk
+  ON exact.query_id = ivf_topk.query_id
+ AND exact.neighbor_id = ivf_topk.neighbor_id
+GROUP BY exact.query_id
+"""
+)
+
+
 NEARDUP_SEEDS = 20  # plant scaled copies of the first N vectors
 NEARDUP_ID_OFFSET = 1_000_000
 
@@ -673,6 +825,8 @@ QUERIES = {
     "ann_multiprobe_recall": ann_multiprobe_recall,
     "ann_clustered_topk": ann_clustered_topk,
     "ann_recall_clustered": ann_recall_clustered,
+    "ivf_topk": ivf_topk,
+    "ivf_recall": ivf_recall,
     "embedding_neardup_cosine": embedding_neardup_cosine,
 }
 
@@ -685,5 +839,7 @@ ORACLES = {
     "ann_multiprobe_recall": ANN_MULTIPROBE_RECALL_SQL,
     "ann_clustered_topk": ANN_CLUSTERED_TOPK_SQL,
     "ann_recall_clustered": ANN_RECALL_CLUSTERED_SQL,
+    "ivf_topk": IVF_TOPK_SQL,
+    "ivf_recall": IVF_RECALL_SQL,
     "embedding_neardup_cosine": EMBEDDING_NEARDUP_SQL,
 }

@@ -397,6 +397,102 @@ SELECT token, df, rank FROM (
 """
 
 
+# --- training-sequence packing ----------------------------------------------------
+#
+# GPT-style sequence packing: the corpus is (logically) concatenated in a
+# deterministic order and sliced into fixed PACK_BUDGET-token training
+# sequences; each document is assigned to the pack its FIRST token lands in
+# (documents may straddle pack boundaries — the standard concat-and-chunk
+# recipe, which wastes zero tokens on padding). The running offset is a
+# window cumulative sum PARTITIONED BY source: packing is per-source, so at
+# 100 TB this is one hash exchange on `source` + a per-partition sort — no
+# global total order, and a skewed mega-source can be salted into
+# sub-streams exactly like the crawl's salted pop. Token counts reuse
+# ``token_count``'s BPE-ish estimator so the two operators agree.
+
+PACK_BUDGET = 2048
+
+_BPE_EXPR = (
+    r"aggregate(filter(split(text, '\\s+'), x -> x != ''),"
+    r" 0L, (acc, x) -> acc + cast(ceil(length(x) / 4.0) as long))"
+)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", "source", F.expr(_BPE_EXPR).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"cast(start div {PACK_BUDGET} as int)").alias("pack_id"),
+        F.col("start").__mod__(PACK_BUDGET).cast("long").alias("pack_off"),
+    )
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(list_sum(list_transform(
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''),
+             x -> cast(ceil(length(x) / 4.0) as bigint))) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       cast(start // {PACK_BUDGET} AS int) AS pack_id,
+       cast(start % {PACK_BUDGET} AS bigint) AS pack_off
+FROM s
+"""
+
+
+def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack rollup of the packing plan: how many documents START in each
+    (source, pack), their token mass, and the fill in basis points —
+    integer-exact (no FP accumulation order) like source_quality_rollup.
+    One map-side-combined aggregate over ``pack_sequences``."""
+    p = pack_sequences(spark, sf_dir)
+    return (
+        p.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .withColumn(
+            "fill_bp",
+            F.expr(f"cast((pack_tokens * 10000) div {PACK_BUDGET} as bigint)"),
+        )
+    )
+
+
+PACK_MANIFEST_SQL = (
+    "WITH packs AS (" + PACK_SEQUENCES_SQL.strip() + ")\n"
+    + f"""
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS bigint) AS pack_tokens,
+       min(doc_id) AS first_doc,
+       cast((CAST(sum(n_tokens) AS bigint) * 10000) // {PACK_BUDGET} AS bigint)
+           AS fill_bp
+FROM packs
+GROUP BY source, pack_id
+"""
+)
+
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -407,6 +503,8 @@ QUERIES = {
     "spans_interleave": spans_interleave,
     "contamination_ngram": contamination_ngram,
     "source_quality_rollup": source_quality_rollup,
+    "pack_sequences": pack_sequences,
+    "pack_manifest": pack_manifest,
 }
 
 ORACLES = {
@@ -419,4 +517,6 @@ ORACLES = {
     "spans_interleave": SPANS_INTERLEAVE_SQL,
     "contamination_ngram": CONTAMINATION_SQL,
     "source_quality_rollup": SOURCE_ROLLUP_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
+    "pack_manifest": PACK_MANIFEST_SQL,
 }

@@ -123,3 +123,16 @@ def test_source_rollup_single_exchange(spark):
 
     df = source_quality_rollup(spark, SF)
     assert _n_exchanges(df) == 1, _plan(df)
+
+
+def test_pack_sequences_single_exchange_no_global_sort(spark):
+    """Packing is one hash exchange on `source` + a per-partition sort —
+    no Exchange rangepartitioning (a global total order would be the
+    100 TB scale-killer) and a scan pruned to the three needed columns."""
+    from forum_dl_spark.operators.textops import pack_sequences
+
+    df = pack_sequences(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan, plan
