@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "pack_manifest",
     "ivf_topk",
     "ivf_recall",
+    "repetition_stats",
+    "pii_scrub",
     "stream_dedup_exact",
     "stream_sessionize",
 ]

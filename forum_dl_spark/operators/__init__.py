@@ -12,11 +12,14 @@ Modules:
 - multimodal:  binary-column plumbing with stubbed decode
 - pipeline:    dup-cluster connected components + stratified sampling
 - streamq:     drained Structured-Streaming wrappers (stream==batch oracle)
+- corpus:      crawl→pipeline bridge (interleaved spans → flat documents)
 """
 
-from . import dedup, multimodal, pipeline, relational, similarity, streamq, textops
+from . import (corpus, dedup, multimodal, pipeline, relational, similarity,
+               streamq, textops)
 
-_MODULES = [relational, dedup, textops, similarity, multimodal, pipeline, streamq]
+_MODULES = [relational, dedup, textops, similarity, multimodal, pipeline,
+            streamq, corpus]
 
 
 def all_queries():

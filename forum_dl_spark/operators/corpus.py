@@ -1,0 +1,102 @@
+"""Crawl→pipeline corpus bridge.
+
+The crawl engine emits interleaved-span documents (north-rule payload:
+``doc_id: string ord``, ``spans: array<struct<kind,text,media_ref,offset>>``);
+the training-data operators consume the flat ``documents`` shape
+(``doc_id, text, lang, source, n_chars``). ``corpus_from_crawl`` is the
+bridge: one narrow projection that flattens the text spans in offset order
+and derives a portable 63-bit doc key from the ord string (same
+md5-substring recipe as stratified_sample — no global row_number, which
+would be a total-order sort at 100 TB).
+
+``crawl_corpus_quality`` is the end-to-end driver smoke: tiny fixture crawl
+→ bridge → the same quality/fingerprint signals the corpus operators
+compute — proving a user can feed the crawler's output straight into the
+pipeline half of the engine. Rows-only (iterative stateful crawl, not
+SQL-expressible), like the other two crawl smokes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def corpus_from_crawl(docs: DataFrame, source: str) -> DataFrame:
+    """Flatten crawl documents into the pipeline ``documents`` schema.
+
+    - ``text``: text spans concatenated in span order (media spans become
+      nothing — their refs live in the items table), single-space joined
+      like the reference's textified post bodies.
+    - ``doc_id``: deterministic 63-bit key from md5(ord-string) — portable
+      (same value in DuckDB via the conv/substring recipe) and
+      shuffle-free; ``crawl_doc_id`` keeps the original ord for joins back
+      to the crawl tables.
+    - ``lang``: 'und' (the crawler does not language-tag; run lang_id on
+      the bridged table for that).
+    """
+    text = F.expr(
+        "concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'),"
+        " s -> s.text))"
+    )
+    return docs.select(
+        F.expr(
+            "cast(conv(substring(md5(doc_id), 1, 15), 16, 10) as bigint)"
+        ).alias("doc_id"),
+        F.col("doc_id").alias("crawl_doc_id"),
+        text.alias("text"),
+        F.lit("und").alias("lang"),
+        F.lit(source).alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def crawl_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny end-to-end crawl bridged into the corpus schema with quality +
+    exact-dup signals computed on the REAL crawler output (not the
+    synthetic parquet): per bridged document, integer-basis-point alpha
+    ratio, token count, whitespace-normalized fingerprint, and whether the
+    fingerprint repeats within the crawl (the exact-dedup predicate)."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..crawl import CrawlConfig, run_crawl
+    from ..fixtures import SyntheticDiscourse
+
+    srv = SyntheticDiscourse(
+        seed=7, n_cats=1, n_subcats=1, n_topics=2, max_posts=25,
+        topics_per_page=2, duplicate_topic=False,
+    )
+    wd = tempfile.mkdtemp(prefix="crawl_corpus_")
+    res = run_crawl(spark, srv, "https://forum.example/", wd, CrawlConfig())
+    corpus = corpus_from_crawl(res.documents(), source="discourse")
+
+    fp = F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy("fingerprint")
+    return (
+        corpus.select(
+            "doc_id",
+            "crawl_doc_id",
+            "n_chars",
+            F.expr(r"size(filter(split(text, '\\s+'), x -> x != ''))")
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.expr(
+                "cast((10000L * length(regexp_replace(text, '[^a-zA-Z]', '')))"
+                " div greatest(length(text), 1) as bigint)"
+            ).alias("alpha_bp"),
+            fp.alias("fingerprint"),
+        )
+        .withColumn("n_copies", F.count("*").over(w).cast("bigint"))
+    )
+
+
+QUERIES = {
+    "crawl_corpus_quality": crawl_corpus_quality,
+}
+
+# rows-only: the producing crawl is iterative/stateful (see module
+# docstring); the bridged columns themselves are pinned exact by
+# tests/test_corpus_bridge.py against an independently-computed expectation.
+ORACLES: dict[str, str] = {}

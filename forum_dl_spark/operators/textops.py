@@ -493,6 +493,161 @@ GROUP BY source, pack_id
 )
 
 
+# --- repetition signals -------------------------------------------------------
+#
+# Gopher-style (Rae et al. 2021, table A1) repetition-quality signals:
+# duplicate-word fraction and most-frequent-word-bigram fraction, both as
+# integer basis points (no FP accumulation-order nondeterminism, like
+# source_quality_rollup). The reference corpus has no newlines, so the
+# line-dup variant would be vacuous here; the word/bigram signals have real
+# spread (distinct-word ratio 0.28-1.0 on the synthetic docs).
+#
+# Scale shape: the per-word stats are a narrow projection; the bigram mode
+# needs one (doc_id, bigram) hash aggregate, one (doc_id) rollup, and a
+# doc_id equi-join back — all key-partitioned, no all-pairs anywhere. At
+# 100 TB the bigram explode is the dominant row multiplier (n_words-1 rows
+# per doc), which is the same multiplier every shingle operator here
+# already carries.
+
+_BP = "CAST(10000 AS BIGINT)"
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    base = (
+        d.select(
+            "doc_id",
+            F.expr(r"filter(split(text, '\\s+'), x -> x != '')").alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_words"),
+            F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct_words"),
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN"
+                " transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"
+                " ELSE cast(array() as array<string>) END"
+            ).alias("bg"),
+        )
+    )
+    bg_stats = (
+        base.select("doc_id", F.explode("bg").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"), F.sum("c").alias("n_bg"))
+    )
+    return (
+        base.drop("bg")
+        .join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.expr(
+                f"cast(({_BP} * (n_words - n_distinct_words))"
+                " div greatest(n_words, 1) as bigint)"
+            ).alias("dup_word_bp"),
+            F.coalesce(
+                F.expr(f"cast(({_BP} * max_c) div n_bg as bigint)"),
+                F.lit(0).cast("bigint"),
+            ).alias("top_bigram_bp"),
+        )
+    )
+
+
+REPETITION_SQL = rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(generate_series(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1])
+              ELSE [] END AS bg
+  FROM w
+),
+bgc AS (
+  SELECT doc_id, max(c) AS max_c, CAST(sum(c) AS BIGINT) AS n_bg FROM (
+    SELECT doc_id, b, count(*) AS c
+    FROM (SELECT doc_id, unnest(bg) AS b FROM base)
+    GROUP BY doc_id, b
+  ) GROUP BY doc_id
+)
+SELECT base.doc_id, n_words,
+       CAST(({_BP} * (n_words - n_distinct_words))
+            // greatest(n_words, 1) AS BIGINT) AS dup_word_bp,
+       COALESCE(CAST(({_BP} * max_c) // n_bg AS BIGINT), 0) AS top_bigram_bp
+FROM base LEFT JOIN bgc ON base.doc_id = bgc.doc_id
+"""
+
+
+# --- PII scrubbing ------------------------------------------------------------
+#
+# Email/phone redaction for training corpora. The synthetic docs contain no
+# '@' or digits, so (like embedding_neardup's planted copies) a
+# deterministic contact line is planted into every 20th document in BOTH
+# engines — the operator's fixture, not its semantics. Redaction itself is
+# a narrow zero-exchange projection (regexp_replace / regexp_count are
+# whole-stage-codegen JVM expressions); the regex subset is shared
+# Java/RE2 so both engines match the exact same spans.
+
+_PII_MOD = 20
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+def _docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" today."),
+    )
+    return d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % _PII_MOD == 0, planted).otherwise(F.col("text")),
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_pii(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("clean_text"),
+    )
+
+
+PII_SCRUB_SQL = rf"""
+WITH pii AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_PII_MOD} = 0
+              THEN text || ' Contact user' || doc_id
+                   || '@example.com or call 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today.'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM pii
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -505,6 +660,8 @@ QUERIES = {
     "source_quality_rollup": source_quality_rollup,
     "pack_sequences": pack_sequences,
     "pack_manifest": pack_manifest,
+    "repetition_stats": repetition_stats,
+    "pii_scrub": pii_scrub,
 }
 
 ORACLES = {
@@ -519,4 +676,6 @@ ORACLES = {
     "source_quality_rollup": SOURCE_ROLLUP_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "pack_manifest": PACK_MANIFEST_SQL,
+    "repetition_stats": REPETITION_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
 }

@@ -125,6 +125,28 @@ def test_source_rollup_single_exchange(spark):
     assert _n_exchanges(df) == 1, _plan(df)
 
 
+def test_pii_scrub_zero_exchange(spark):
+    """Redaction is a narrow whole-stage-codegen projection — no shuffle,
+    scan pruned to the two needed columns."""
+    from forum_dl_spark.operators.textops import pii_scrub
+
+    df = pii_scrub(spark, SF)
+    assert _n_exchanges(df) == 0, _plan(df)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in _plan(df)
+
+
+def test_repetition_stats_keyed_aggregates_only(spark):
+    """The bigram mode is two key-partitioned hash aggregates + a doc_id
+    equi-join — no range partitioning (global sort) and no cartesian."""
+    from forum_dl_spark.operators.textops import repetition_stats
+
+    df = repetition_stats(spark, SF)
+    plan = _plan(df)
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
 def test_pack_sequences_single_exchange_no_global_sort(spark):
     """Packing is one hash exchange on `source` + a per-partition sort —
     no Exchange rangepartitioning (a global total order would be the
