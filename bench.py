@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "ivf_recall",
     "repetition_stats",
     "pii_scrub",
+    "semantic_dedup_apply",
+    "mix_sample",
     "stream_dedup_exact",
     "stream_sessionize",
 ]

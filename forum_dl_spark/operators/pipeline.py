@@ -426,16 +426,162 @@ WHERE l.cluster_id = d.doc_id
 )
 
 
+# --- semantic (embedding-space) dedup apply ----------------------------------
+
+
+def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style (Abbas et al. 2023) semantic dedup EMIT: near-dup
+    pairs by embedding cosine within LSH buckets (``embedding_neardup_
+    cosine``, including its planted scaled copies — the fixture's actual
+    near-dups), connected components, keep the min-vec_id representative.
+    Returns surviving vectors with their cluster size (n_members > 1 marks
+    a collapsed semantic group).
+
+    Scale shape: identical to dedup_apply — pair generation is bucket-
+    bounded, CC iterates over (id, id) labels only, and the final survivor
+    filter is label-side; embeddings are never shuffled past the bucket
+    join the neardup stage already does."""
+    from .similarity import (NEARDUP_ID_OFFSET, NEARDUP_SEEDS, _emb,
+                             embedding_neardup_cosine)
+
+    edges = (
+        embedding_neardup_cosine(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    e0 = _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"))
+    planted = e0.filter(F.col("doc_id") < NEARDUP_SEEDS).select(
+        (F.col("doc_id") + NEARDUP_ID_OFFSET).alias("doc_id")
+    )
+    nodes = e0.unionByName(planted)
+    labels, _rounds = connected_components(edges, nodes)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return (
+        labels.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(F.col("doc_id").alias("vec_id"), "n_members")
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    from .similarity import (NEARDUP_ID_OFFSET, NEARDUP_SEEDS,
+                             _duck_bucket_sql)
+
+    return f"""
+WITH RECURSIVE e0 AS (
+  SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+),
+aug AS (
+  SELECT vec_id, v FROM e0
+  UNION ALL
+  SELECT vec_id + {NEARDUP_ID_OFFSET} AS vec_id,
+         list_transform(v, x -> x * 1.25) AS v
+  FROM e0 WHERE vec_id < {NEARDUP_SEEDS}
+),
+e AS (
+  SELECT vec_id, v, cast({_duck_bucket_sql()} AS int) AS bucket FROM aug
+),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM aug
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM labels GROUP BY cluster_id
+)
+SELECT l.doc_id AS vec_id, s.n_members
+FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
+WHERE l.doc_id = l.cluster_id
+"""
+
+
+# --- language/domain-mix temperature sampling ---------------------------------
+#
+# Training-mixture rebalancing: per-language keep rates proportional to
+# n_lang^alpha (alpha = 0.5 — the classic multilingual/domain "temperature"
+# rule that upweights small strata relative to their share), normalized so
+# the largest stratum keeps rate_bp = 10000. Keyed on ``lang`` because the
+# synthetic corpus is SKEWED there (en 218 vs fr 64 at sf0.01) — ``source``
+# is perfectly balanced, which would make the filter vacuous. The
+# hash-threshold keep decision reuses stratified_sample's portable md5
+# recipe. sqrt and one double division are IEEE-exact-identical in both
+# engines; the floor to integer basis points makes the emitted rate
+# integer-exact.
+#
+# Scale shape: one tiny per-stratum aggregate (5 rows) broadcast back onto
+# the corpus + a narrow filter — the corpus itself is never shuffled.
+
+MIX_ALPHA_NOTE = "rate ∝ sqrt(n_lang), max stratum = 10000 bp"
+
+
+def mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_str"))
+    maxn = counts.agg(F.max("n_str").alias("n_max"))
+    rates = counts.crossJoin(F.broadcast(maxn)).select(
+        "lang",
+        F.expr(
+            "cast(floor(10000 * sqrt(cast(n_str as double))"
+            " / sqrt(cast(n_max as double))) as bigint)"
+        ).alias("rate_bp"),
+    )
+    h = (
+        "cast(conv(substring(md5(concat('mix:', cast(doc_id as string))), 1, 8),"
+        " 16, 10) as bigint) % 10000"
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .withColumn("_h", F.expr(h))
+        .filter(F.col("_h") < F.col("rate_bp"))
+        .select("doc_id", "lang", "rate_bp")
+    )
+
+
+MIX_SAMPLE_SQL = """
+WITH c AS (
+  SELECT doc_id, lang,
+         count(*) OVER (PARTITION BY lang) AS n_str
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         CAST(floor(10000 * sqrt(CAST(n_str AS DOUBLE))
+              / sqrt(CAST(max(n_str) OVER () AS DOUBLE))) AS BIGINT) AS rate_bp,
+         cast(concat('0x', substring(md5(concat('mix:', cast(doc_id as varchar))),
+                                     1, 8)) as bigint) % 10000 AS h
+  FROM c
+)
+SELECT doc_id, lang, rate_bp FROM r WHERE h < rate_bp
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_apply": dedup_apply,
+    "semantic_dedup_apply": semantic_dedup_apply,
     "stratified_sample": stratified_sample,
+    "mix_sample": mix_sample,
 }
 
 ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
     "dedup_apply": DEDUP_APPLY_SQL,
+    "semantic_dedup_apply": _semantic_dedup_sql(),
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "mix_sample": MIX_SAMPLE_SQL,
 }
