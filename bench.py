@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "repetition_stats",
     "pii_scrub",
     "semantic_dedup_apply",
+    "segment_dedup_apply",
+    "kmeans_assign",
     "mix_sample",
     "stream_dedup_exact",
     "stream_sessionize",

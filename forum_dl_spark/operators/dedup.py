@@ -377,12 +377,128 @@ FROM votes GROUP BY doc_id
 """
 
 
+# --- segment-level (line) dedup + corpus reassembly --------------------------
+#
+# RefinedWeb/C4-style sub-document dedup: the unit of dedup is a SEGMENT
+# (consecutive SEG_W-word window — the corpus has no newline structure, so
+# fixed word windows stand in for lines; the operator is the same with a
+# '\n' split). Global keep-first: a segment occurrence survives iff it is
+# the FIRST occurrence of that exact segment text in (doc_id, seg_idx)
+# order; each document is then reassembled from its surviving segments.
+#
+# Non-vacuity: short tail segments collide naturally (~200 duplicate
+# occurrences at sf0.01); additionally SEG_SEEDS planted docs are composed
+# of a COPIED head segment (first SEG_W words of an original, always loses
+# keep-first to the original) plus a novel plant-token tail (always
+# survives) — pinning the partial-reassembly path in both engines.
+#
+# Scale shape: one shuffle keyed on segment text (the keep-first window —
+# at 100 TB a hash of the segment, not the text, would be the key and a
+# groupBy-min + semi-join would replace the sort window), one groupBy
+# doc_id to reassemble. Chunking itself is a narrow higher-order-fn
+# projection; document text never moves except by these two keyed
+# exchanges.
+
+SEG_W = 8
+SEG_SEEDS = 30
+SEG_ID_OFFSET = 2_000_000
+
+
+def _docs_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    head = F.array_join(F.slice(F.split(F.col("text"), " "), 1, SEG_W), " ")
+    tail = F.array_join(
+        F.array_repeat(
+            F.concat(F.lit("plant"), F.col("doc_id").cast("string")), SEG_W
+        ),
+        " ",
+    )
+    planted = d.filter(F.col("doc_id") < SEG_SEEDS).select(
+        (F.col("doc_id") + SEG_ID_OFFSET).alias("doc_id"),
+        F.concat(head, F.lit(" "), tail).alias("text"),
+    )
+    return d.unionByName(planted)
+
+
+def segment_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document segment-dedup result: segment counts before/after the
+    global keep-first pass and the reassembled deduped text."""
+    from pyspark.sql import Window
+
+    d = _docs_seg(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    nseg = F.floor((F.size(w) + SEG_W - 1) / F.lit(SEG_W)).cast("int")
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda g: F.array_join(F.slice(w, g * SEG_W + 1, SEG_W), " "),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    win = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    flagged = segs.withColumn("kept", F.row_number().over(win) == 1)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_seg"),
+        F.sum(F.col("kept").cast("bigint")).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("seg_idx", "seg")))
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+    )
+
+
+SEGMENT_DEDUP_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {SEG_ID_OFFSET},
+         list_aggregate(list_slice(string_split(text, ' '), 1, {SEG_W}),
+                        'string_agg', ' ')
+         || ' ' || trim(repeat('plant' || CAST(doc_id AS VARCHAR) || ' ', {SEG_W}))
+  FROM documents WHERE doc_id < {SEG_SEEDS}
+),
+segs AS (
+  SELECT doc_id,
+         unnest([{{'seg_idx': g,
+                  'seg': list_aggregate(
+                           list_slice(string_split(text, ' '),
+                                      g * {SEG_W} + 1, g * {SEG_W} + {SEG_W}),
+                           'string_agg', ' ')}}
+                 for g in generate_series(
+                   0,
+                   CAST(floor((len(string_split(text, ' ')) + {SEG_W - 1})
+                              / {SEG_W}) AS INT) - 1)],
+                recursive := true)
+  FROM aug
+),
+flagged AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS kept
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_seg,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '')
+         AS text_deduped
+FROM flagged GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_simhash": dedup_simhash,
+    "segment_dedup_apply": segment_dedup_apply,
 }
 
 ORACLES = {
@@ -391,4 +507,5 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "segment_dedup_apply": SEGMENT_DEDUP_SQL,
 }

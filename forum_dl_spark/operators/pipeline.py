@@ -568,6 +568,142 @@ SELECT doc_id, lang, rate_bp FROM r WHERE h < rate_bp
 """
 
 
+# --- integer-exact Lloyd's k-means over embeddings ----------------------------
+#
+# The learned-clustering counterpart to the fixed-pivot IVF index: KM_ITERS
+# assignment passes with centroid updates between them, made hash-exact
+# across engines by working on floor-quantized integer vectors (qx =
+# floor(x * KM_SCALE)) — distances are integer sums (accumulation-order
+# free) and centroid updates are floor(sum/count) with an exact double
+# division, so there is NO floating-point accumulation anywhere.
+#
+# Spark-first scale shape: centroids are collected to the driver each
+# round (K x dim scalars — the legitimate driver-side control state, like
+# CC's convergence count) and inlined as literal arrays, so ASSIGNMENT is
+# a narrow whole-stage-codegen projection over the embeddings scan — the
+# vectors themselves never shuffle. The only exchanges per round are the
+# (cluster, dim) partial-sum aggregate (map-side combined to K x dim rows)
+# and the final broadcast of cluster sizes. The DuckDB oracle unrolls the
+# same three assignments in long format.
+#
+# Ties (two centroids at equal distance) break to the smallest cluster id
+# in both engines (array_position finds the FIRST minimum over centroids
+# sorted by id; the oracle sorts by (dist, c)). Clusters that lose all
+# members simply drop out of the next round in both engines.
+
+KM_K = 8
+KM_ITERS = 3  # assignment passes; centroids updated between them
+KM_SCALE = 10000
+
+
+def _kmeans_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {KM_SCALE})"
+            " as bigint))"
+        ).alias("q"),
+    )
+
+
+def _km_assign_expr(cents: list) -> str:
+    dists = []
+    for _cid, vec in cents:
+        arr = "array(" + ",".join(f"{int(x)}L" for x in vec) + ")"
+        dists.append(
+            f"aggregate(zip_with(q, {arr}, (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as bigint), (s, x) -> s + x)"
+        )
+    ds = "array(" + ",".join(dists) + ")"
+    ids = "array(" + ",".join(f"{int(c)}L" for c, _ in cents) + ")"
+    return (
+        f"element_at({ids}, cast(array_position({ds}, array_min({ds})) as int))"
+    )
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final-round cluster assignment (vec_id, cluster_id, n_members) after
+    KM_ITERS Lloyd passes seeded with the first KM_K vectors."""
+    import math
+
+    q = _kmeans_quant(spark, sf_dir).localCheckpoint()
+    cents = sorted(
+        (int(r["vec_id"]), list(r["q"]))
+        for r in q.filter(F.col("vec_id") < KM_K).collect()
+    )
+    for t in range(KM_ITERS):
+        a = q.withColumn("c", F.expr(_km_assign_expr(cents)))
+        if t == KM_ITERS - 1:
+            sizes = a.groupBy("c").agg(
+                F.count("*").cast("bigint").alias("n_members")
+            )
+            return a.join(F.broadcast(sizes), "c").select(
+                "vec_id", F.col("c").alias("cluster_id"), "n_members"
+            )
+        rows = (
+            a.select("c", F.posexplode("q").alias("d", "qx"))
+            .groupBy("c", "d")
+            .agg(F.sum("qx").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        byc: dict = {}
+        for r in rows:
+            byc.setdefault(int(r["c"]), {})[int(r["d"])] = math.floor(
+                r["s"] / r["n"]
+            )
+        cents = sorted(
+            (c, [dd[i] for i in range(len(dd))]) for c, dd in byc.items()
+        )
+    raise AssertionError("unreachable")
+
+
+def _km_oracle_sql() -> str:
+    quant = f"""
+q AS (
+  SELECT vec_id,
+         unnest([{{'d': i,
+                  'qx': CAST(floor(CAST(embedding[i] AS DOUBLE) * {KM_SCALE})
+                             AS BIGINT)}}
+                 for i in generate_series(1, len(embedding))],
+                recursive := true)
+  FROM embeddings
+)"""
+
+    def assign(src: str, cent: str) -> str:
+        return f"""(
+  SELECT vec_id, c FROM (
+    SELECT q.vec_id, {cent}.c,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY sum((q.qx - {cent}.cx)
+                                           * (q.qx - {cent}.cx)), {cent}.c) AS rn
+    FROM q JOIN {cent} ON q.d = {cent}.d
+    GROUP BY q.vec_id, {cent}.c
+  ) WHERE rn = 1
+)"""
+
+    def update(asg: str) -> str:
+        return f"""(
+  SELECT {asg}.c, q.d,
+         CAST(floor(CAST(sum(q.qx) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+  FROM {asg} JOIN q ON {asg}.vec_id = q.vec_id
+  GROUP BY {asg}.c, q.d
+)"""
+
+    return f"""
+WITH {quant},
+c0 AS (SELECT vec_id AS c, d, qx AS cx FROM q WHERE vec_id < {KM_K}),
+a1 AS {assign('q', 'c0')},
+c1 AS {update('a1')},
+a2 AS {assign('q', 'c1')},
+c2 AS {update('a2')},
+a3 AS {assign('q', 'c2')}
+SELECT a3.vec_id, a3.c AS cluster_id, s.n_members
+FROM a3 JOIN (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_members FROM a3 GROUP BY c
+) s ON a3.c = s.c
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
@@ -575,6 +711,7 @@ QUERIES = {
     "semantic_dedup_apply": semantic_dedup_apply,
     "stratified_sample": stratified_sample,
     "mix_sample": mix_sample,
+    "kmeans_assign": kmeans_assign,
 }
 
 ORACLES = {
@@ -584,4 +721,5 @@ ORACLES = {
     "semantic_dedup_apply": _semantic_dedup_sql(),
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "mix_sample": MIX_SAMPLE_SQL,
+    "kmeans_assign": _km_oracle_sql(),
 }
