@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "semantic_dedup_apply",
     "segment_dedup_apply",
     "kmeans_assign",
+    "dedup_cross_corpus",
+    "length_histogram",
     "mix_sample",
     "stream_dedup_exact",
     "stream_sessionize",

@@ -492,6 +492,87 @@ FROM flagged GROUP BY doc_id
 """
 
 
+# --- cross-corpus (incremental) dedup ----------------------------------------
+#
+# The incremental-crawl staple: dedup an INCOMING batch against an existing
+# reference corpus without re-deduping the reference against itself (the
+# pattern behind "drop re-crawled pages already in the lake"). Decision per
+# incoming doc: dup_of = smallest reference doc_id sharing its normalized
+# fingerprint, -1 if novel.
+#
+# Non-vacuity: the synthetic corpus has no cross-source exact dupes at
+# sf<=0.01, so the incoming batch is derived in-engine — CROSS_SEEDS exact
+# copies of reference docs (must match) plus CROSS_SEEDS novel docs (must
+# not), mirrored verbatim in the oracle.
+#
+# Scale shape: the reference side reduces to (fingerprint, min doc_id) —
+# one map-side-combined aggregate — and joins broadcast here; at 100 TB the
+# same decision is the bloom-prefiltered anti-join the crawl engine already
+# uses for its URL-seen set (crawl/bloom.py), with this exact join as the
+# residue check.
+
+CROSS_SEEDS = 15
+CROSS_ID_OFFSET = 3_000_000
+
+
+def _cross_fp() -> F.Column:
+    return F.md5(F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))))
+
+
+def _cross_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < CROSS_SEEDS).select(
+        (F.col("doc_id") + CROSS_ID_OFFSET).alias("doc_id"), "text"
+    )
+    novel = d.filter(F.col("doc_id") < CROSS_SEEDS).select(
+        (F.col("doc_id") + CROSS_ID_OFFSET + CROSS_SEEDS).alias("doc_id"),
+        F.array_join(
+            F.array_repeat(
+                F.concat(F.lit("novel"), (F.col("doc_id") + CROSS_ID_OFFSET + CROSS_SEEDS).cast("string")),
+                6,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return dup.unionByName(novel)
+
+
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        _docs(spark, sf_dir)
+        .select(_cross_fp().alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("_dup_of"))
+    )
+    inc = _cross_incoming(spark, sf_dir).select("doc_id", _cross_fp().alias("fp"))
+    return inc.join(F.broadcast(base), "fp", "left").select(
+        "doc_id", F.coalesce(F.col("_dup_of"), F.lit(-1)).cast("bigint").alias("dup_of")
+    )
+
+
+DEDUP_CROSS_SQL = rf"""
+WITH incoming AS (
+  SELECT doc_id + {CROSS_ID_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id < {CROSS_SEEDS}
+  UNION ALL
+  SELECT doc_id + {CROSS_ID_OFFSET + CROSS_SEEDS},
+         trim(repeat('novel' || CAST(doc_id + {CROSS_ID_OFFSET + CROSS_SEEDS} AS VARCHAR) || ' ', 6))
+  FROM documents WHERE doc_id < {CROSS_SEEDS}
+),
+base AS (
+  SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+         min(doc_id) AS dup_of
+  FROM documents GROUP BY fp
+)
+SELECT i.doc_id,
+       COALESCE(b.dup_of, -1) AS dup_of
+FROM (SELECT doc_id,
+             md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM incoming) i
+LEFT JOIN base b ON i.fp = b.fp
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -499,6 +580,7 @@ QUERIES = {
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_simhash": dedup_simhash,
     "segment_dedup_apply": segment_dedup_apply,
+    "dedup_cross_corpus": dedup_cross_corpus,
 }
 
 ORACLES = {
@@ -508,4 +590,5 @@ ORACLES = {
     "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "segment_dedup_apply": SEGMENT_DEDUP_SQL,
+    "dedup_cross_corpus": DEDUP_CROSS_SQL,
 }

@@ -648,6 +648,56 @@ FROM pii
 """
 
 
+# --- token-length distribution -----------------------------------------------
+#
+# Corpus-shape diagnostic: per-source histogram of whitespace token counts
+# in log2 buckets. The bucket index is derived from the BINARY STRING
+# length of the count (length(conv(n, 10, 2)) - 1 == floor(log2(n)) for
+# n >= 1) instead of floor(log2(n)) — libm log rounding is not guaranteed
+# identical across engines at exact powers of two, string length is.
+# share_bp is pure integer arithmetic ((10000 * n) div total).
+#
+# Scale shape: one narrow projection + one map-side-combined aggregate;
+# the per-source share join is a broadcast of a bucket-count-sized table.
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n = F.expr(r"size(filter(split(text, '\\s+'), x -> x != ''))")
+    bucket = F.expr(
+        r"cast(length(conv(cast(size(filter(split(text, '\\s+'), x -> x != ''))"
+        r" as string), 10, 2)) - 1 as bigint)"
+    )
+    counts = (
+        d.select("source", n.alias("n"), bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("n_docs").alias("_tot"))
+    return counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "bucket",
+        "n_docs",
+        F.expr("(10000 * n_docs) div _tot").alias("share_bp"),
+    )
+
+
+LENGTH_HISTOGRAM_SQL = r"""
+WITH c AS (
+  SELECT source,
+         CAST(length(printf('%b',
+                len(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x != '')))) - 1 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, bucket, n_docs,
+       CAST((10000 * n_docs) // CAST(sum(n_docs) OVER (PARTITION BY source)
+            AS BIGINT) AS BIGINT) AS share_bp
+FROM c
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -662,6 +712,7 @@ QUERIES = {
     "pack_manifest": pack_manifest,
     "repetition_stats": repetition_stats,
     "pii_scrub": pii_scrub,
+    "length_histogram": length_histogram,
 }
 
 ORACLES = {
@@ -678,4 +729,5 @@ ORACLES = {
     "pack_manifest": PACK_MANIFEST_SQL,
     "repetition_stats": REPETITION_SQL,
     "pii_scrub": PII_SCRUB_SQL,
+    "length_histogram": LENGTH_HISTOGRAM_SQL,
 }

@@ -66,3 +66,48 @@ def test_mix_sample_broadcasts_rates(spark):
     plan = mix_sample(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cross_corpus_decisions(spark):
+    """Planted exact copies resolve to their original's doc_id; novel docs
+    resolve to -1 — the incremental-dedup decision table is exact."""
+    from forum_dl_spark.operators.dedup import (CROSS_ID_OFFSET, CROSS_SEEDS,
+                                                dedup_cross_corpus)
+
+    rows = {r.doc_id: r.dup_of for r in dedup_cross_corpus(spark, SF).collect()}
+    assert len(rows) == 2 * CROSS_SEEDS
+    for i in range(CROSS_SEEDS):
+        assert rows[i + CROSS_ID_OFFSET] == i  # copy -> original
+        assert rows[i + CROSS_ID_OFFSET + CROSS_SEEDS] == -1  # novel
+
+
+def test_cross_corpus_base_is_broadcast(spark):
+    from forum_dl_spark.operators.dedup import dedup_cross_corpus
+
+    plan = dedup_cross_corpus(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_length_histogram_buckets(spark):
+    """bucket == floor(log2(ws_tokens)) recomputed in Python; per-source
+    doc counts and share_bp are integer-exact."""
+    from forum_dl_spark.operators.textops import length_histogram
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = [(r.source, len([w for w in __import__("re").split(r"\s+", r.text) if w]))
+            for r in d.select("source", "text").collect()]
+    want = {}
+    for src, n in toks:
+        b = n.bit_length() - 1 if n >= 1 else 0
+        want[(src, b)] = want.get((src, b), 0) + 1
+    tot = {}
+    for (src, _b), c in want.items():
+        tot[src] = tot.get(src, 0) + c
+
+    rows = length_histogram(spark, SF).collect()
+    got = {(r.source, r.bucket): (r.n_docs, r.share_bp) for r in rows}
+    assert set(got) == set(want)
+    for key, (n_docs, share) in got.items():
+        assert n_docs == want[key]
+        assert share == (10000 * n_docs) // tot[key[0]]
