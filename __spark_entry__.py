@@ -7,9 +7,9 @@
 ``oracle_sql``— DuckDB-equivalent SQL for every SQL-expressible query,
                 with identical column names/semantics (verified by
                 tests/test_operators_oracle.py which mimics this gate).
-Rows-only entries (no oracle): crawl_discourse_spans / crawl_phpbb_files
-(iterative stateful crawls — not SQL-expressible) and stream_post_counts
-(streams a crawl's parsed deltas). Everything else — including
+Rows-only entries (no oracle): crawl_discourse_spans / crawl_phpbb_files /
+crawl_corpus_quality (iterative stateful crawls — not SQL-expressible) and
+stream_post_counts (streams a crawl's parsed deltas). Everything else — including
 media_features (closed-form md5 featurizer) and the drained streaming
 dedup/sessionize — carries a DuckDB oracle.
 """
