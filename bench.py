@@ -77,6 +77,12 @@ BENCH_QUERIES = [
     "mix_sample",
     "stream_dedup_exact",
     "stream_sessionize",
+    "bm25_topk",
+    "tfidf_top_terms",
+    "perplexity_buckets",
+    "winnow_fingerprints",
+    "winnow_dup_spans",
+    "media_phash_neardup",
 ]
 # per-query sf override: dedup_ngram_jaccard is the LABELED exact all-pairs
 # BASELINE (its scale path is dedup_lsh_verified, benched at full sf) — at

@@ -13,13 +13,14 @@ Modules:
 - pipeline:    dup-cluster connected components + stratified sampling
 - streamq:     drained Structured-Streaming wrappers (stream==batch oracle)
 - corpus:      crawl→pipeline bridge (interleaved spans → flat documents)
+- ir:          BM25 / tf-idf keywords / perplexity buckets / winnowing
 """
 
-from . import (corpus, dedup, multimodal, pipeline, relational, similarity,
-               streamq, textops)
+from . import (corpus, dedup, ir, multimodal, pipeline, relational,
+               similarity, streamq, textops)
 
 _MODULES = [relational, dedup, textops, similarity, multimodal, pipeline,
-            streamq, corpus]
+            streamq, corpus, ir]
 
 
 def all_queries():

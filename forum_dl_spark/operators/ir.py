@@ -1,0 +1,429 @@
+"""Information-retrieval / LM-quality operators over ``documents``.
+
+Four families, each with an exactly-equivalent DuckDB oracle:
+
+- ``bm25_topk``: full-corpus BM25 ranking for a fixed query (Lucene-style
+  positive-clamped idf, k1=1.2 b=0.75) — the retrieval primitive behind
+  quality-classifier seed sets and targeted corpus slicing.
+- ``tfidf_top_terms``: per-document top-k keyword extraction by tf·idf —
+  the standard first step of topic labeling / near-duplicate triage.
+- ``perplexity_buckets``: CCNet-style head/middle/tail corpus split by a
+  unigram-LM surprisal proxy (Wenzek et al. 2020 split CommonCrawl into
+  perplexity tertiles). The proxy is INTEGER-EXACT: per-token surprisal is
+  floor(log2(total_tokens // token_count)) via the binary-string-length
+  trick (no libm log in either engine), the per-doc mean is an exact
+  integer ratio in basis points, and the tertile assignment is an ntile
+  over (score, doc_id) — bit-stable across engines and partitionings.
+- ``winnow_fingerprints`` / ``winnow_dup_spans``: robust winnowing
+  (Schleimer et al., SIGMOD'03 — the MOSS algorithm) over k-char grams
+  with window w and the rightmost-min tie rule, then substring-level
+  duplicate-span candidates by fingerprint intersection (the
+  local-duplication analogue of Lee et al. 2022's exact-substring dedup).
+
+Scale notes per operator are on the docstrings; nothing here shuffles
+text — every wide stage moves (doc_id, hash/term, count) rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+_TOK = r"filter(split(lower(text), '\\s+'), x -> x != '')"
+_TOK_DUCK = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"
+
+
+# --- BM25 ---------------------------------------------------------------------
+
+BM25_QUERY = ["hash", "join", "stream"]  # fixed literal query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``BM25_TOPK`` documents for the fixed query ``BM25_QUERY``.
+
+    Lucene BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (clamped positive —
+    the classic Robertson idf goes negative once df > N/2, which this tiny
+    synthetic vocabulary hits constantly), tf-part = tf*(k1+1) / (tf + k1*
+    (1 - b + b*dl/avgdl)).
+
+    Scale shape: the per-(doc, term) tf table is one map-side-combined hash
+    aggregate restricted to the |Q| query terms (the filter pushes inside
+    the projection, so the explode emits query-term rows only); N/avgdl/df
+    are 1-row/|Q|-row aggregates BROADCAST into the scoring projection; the
+    final top-k is orderBy().limit() — a TakeOrdered, not a global sort.
+    Determinism: ordering and equality use round(score, 4) with doc_id
+    tiebreak; ln() inputs are identical exact ratios in both engines (the
+    1-ulp libm risk under round(,4) is ~1e-12 per row — accepted, same as
+    every rounded-division oracle here).
+    """
+    q = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.expr(_TOK).alias("t"),
+    ).select(
+        "doc_id",
+        F.size("t").cast("long").alias("dl"),
+        F.explode(F.expr(f"filter(t, x -> x in ({q}))")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    # corpus stats: N + avgdl over ALL docs (not just query-term hits)
+    stats = d.select(F.expr(f"size({_TOK})").cast("long").alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf", F.expr("ln(1 + (n_docs - df + 0.5) / (df + 0.5))")
+        )
+        .withColumn(
+            "s",
+            F.expr(
+                f"idf * tf * ({BM25_K1} + 1) / "
+                f"(tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl * n_docs / sum_dl))"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+        .select("doc_id", "score")
+    )
+
+
+_BM25_Q_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+BM25_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_DUCK} AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, term, count(*) AS tf
+  FROM (SELECT doc_id, t,
+               unnest(list_filter(t, x -> x in ({_BM25_Q_SQL}))) AS term
+        FROM toks)
+  GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM toks
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         round(sum(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * ({BM25_K1} + 1)
+           / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl * n_docs / sum_dl))
+         ), 4) AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
+# --- per-doc TF-IDF keywords --------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-``TFIDF_TOPK`` terms by tf·idf (idf = ln(N/df),
+    document frequency counted once per doc).
+
+    Scale shape: one (doc_id, term) hash aggregate for tf, one (term)
+    aggregate for df (BROADCAST — it is vocabulary-sized), then a
+    rank-within-doc window partitioned by doc_id — the window shuffle is
+    keyed on doc_id, the same partitioning the tf aggregate already
+    produced, so AQE reuses the exchange. Determinism: rank orders by
+    round(score, 4) desc then term asc (exact-tie rule; a 1-ulp ln()
+    divergence cannot reorder rounded keys except at a ~1e-12 boundary).
+    """
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(F.expr(_TOK)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.expr("tf * ln(n_docs / df)"), 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
+TFIDF_SQL = rf"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK_DUCK}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * ln(n_docs / df), 4) AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOPK}
+"""
+
+
+# --- unigram-surprisal perplexity proxy --------------------------------------
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail split by a unigram-LM surprisal proxy.
+
+    Per-token surprisal = floor(log2(total_tokens // count(token))) computed
+    as length(bin(total // count)) - 1 — INTEGER-EXACT, no libm log in
+    either engine (same trick as textops.length_histogram). Per-doc score =
+    (10000 * sum(surprisal)) // n_tokens (exact basis points). Buckets are
+    ntile(3) over (score, doc_id): 1=head (most predictable), 3=tail.
+
+    Scale shape: the unigram table is vocabulary-sized → BROADCAST into the
+    token stream; per-doc rollup is one map-side-combined aggregate keyed
+    on doc_id. The global ntile IS a single-partition window at this
+    surface — the honest 100 TB shape is a quantile cut: compute the two
+    tertile boundaries once (approxQuantile or an exact two-pass count) and
+    bucket by broadcast comparison; the ntile here doubles as that cut's
+    oracle.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.expr(_TOK)).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("total"))
+    surp = (
+        toks.join(F.broadcast(uni), "term")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(length(conv(cast(total div c as string), 10, 2)) - 1 as bigint)"
+            ).alias("s"),
+        )
+    )
+    per_doc = surp.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.expr("cast((10000 * sum(s)) div count(*) as bigint)").alias("surprisal_bp"),
+    )
+    w = Window.orderBy(F.asc("surprisal_bp"), F.asc("doc_id"))
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "surprisal_bp",
+        F.ntile(3).over(w).alias("bucket"),
+    )
+
+
+PERPLEXITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_DUCK}) AS term FROM documents
+),
+uni AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS total FROM toks),
+surp AS (
+  SELECT doc_id,
+         CAST(length(printf('%b', total // c)) - 1 AS BIGINT) AS s
+  FROM toks JOIN uni USING (term) CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST((10000 * sum(s)) // count(*) AS BIGINT) AS surprisal_bp
+  FROM surp GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, surprisal_bp,
+       ntile(3) OVER (ORDER BY surprisal_bp ASC, doc_id ASC) AS bucket
+FROM per_doc
+"""
+
+
+# --- winnowing fingerprints ---------------------------------------------------
+
+WINNOW_K = 12   # k-gram length in chars (post whitespace-normalization)
+WINNOW_W = 8    # winnowing window: guarantees any shared run >= k+w-1 chars
+                # yields at least one shared fingerprint (SIGMOD'03 Thm. 2)
+WINNOW_MAXDF = 20  # drop fingerprints present in more docs ("stop
+                   # fingerprints" — the substring analogue of a stopword
+                   # list; bounds the dup-span join to MAXDF^2 per hash)
+
+
+_WINNOW_H_EXPR = (
+    f"transform(sequence(1, greatest(length(nt) - {WINNOW_K} + 1, 1)), "
+    f"i -> cast(conv(substring(md5(substring(nt, i, {WINNOW_K})), 1, 8), 16, 10) as bigint))"
+)
+# rightmost-min per window: position = j + w - position_in_reversed_slice.
+# h MUST be a materialized column (not inlined): higher-order-function
+# lambdas get no common-subexpression elimination, so an inlined h would be
+# rebuilt (O(n) md5 calls) per window element — O(n^2) per document.
+_WINNOW_WIN_EXPR = (
+    f"transform(sequence(1, greatest(size(h) - {WINNOW_W} + 1, 1)), "
+    f"j -> struct("
+    f"cast(j + {WINNOW_W} - array_position(reverse(slice(h, j, {WINNOW_W})), "
+    f"array_min(slice(h, j, {WINNOW_W}))) as int) as pos, "
+    f"array_min(slice(h, j, {WINNOW_W})) as fp))"
+)
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-winnowing document fingerprints: per doc, the DISTINCT
+    (position, hash) pairs selected by the rightmost-min rule over
+    ``WINNOW_W``-windows of ``WINNOW_K``-char-gram md5 hashes on
+    whitespace-normalized lowercase text.
+
+    Scale shape: the whole selection runs INSIDE zero-exchange projections
+    (higher-order functions over the text column — the k-gram hash array is
+    materialized ONCE per row, then the O(n·w) window scan slices it; no
+    explode before selection), then a single explode + distinct keyed on
+    (doc_id, pos, fp). Winnowing keeps ~2/(w+1) of positions, so the
+    exploded row count is a fraction of the k-gram count — the selection
+    happens BEFORE the shuffle, which is the point of winnowing at 100 TB
+    (cf. Schleimer et al. SIGMOD'03 §3). Docs shorter than k chars are
+    dropped (both engines filter length >= k).
+    """
+    d = _docs(spark, sf_dir)
+    norm = d.select(
+        "doc_id",
+        F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))").alias("nt"),
+    ).filter(F.length("nt") >= WINNOW_K)
+    fps = (
+        norm.withColumn("h", F.expr(_WINNOW_H_EXPR))
+        .select("doc_id", F.explode(F.expr(_WINNOW_WIN_EXPR)).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
+    )
+    return fps.distinct()
+
+
+def _winnow_duck() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    h = (
+        f"list_transform(generate_series(1, greatest(length(nt) - {k} + 1, 1)), "
+        f"i -> CAST(concat('0x', substring(md5(substring(nt, i, {k})), 1, 8)) AS BIGINT))"
+    )
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+hs AS MATERIALIZED (
+  -- MATERIALIZED: an inlined CTE would re-substitute the O(n)-md5 list
+  -- build at every reference inside the window lambda (same CSE hazard
+  -- the Spark side avoids by materializing h as a column first)
+  SELECT doc_id, {h} AS h FROM norm WHERE length(nt) >= {k}
+),
+win AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(h) - {w} + 1, 1)),
+           j -> struct_pack(
+             pos := CAST(j + {w} - list_position(list_reverse(list_slice(h, j, j + {w} - 1)),
+                                list_min(list_slice(h, j, j + {w} - 1))) AS INT),
+             fp := list_min(list_slice(h, j, j + {w} - 1))))) AS s
+  FROM hs
+)
+SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM win
+"""
+
+
+WINNOW_FP_SQL = _winnow_duck()
+
+
+def winnow_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplication candidates: document pairs sharing >= 2
+    winnowing fingerprints (by HASH — position-free, so moved spans still
+    match), with the shared-fingerprint count as span-mass evidence.
+
+    By SIGMOD'03's guarantee any shared literal run of >= k+w-1 = 19 chars
+    shares a fingerprint, so this is a recall-safe candidate generator for
+    exact-substring dedup (Lee et al. 2022) at 1/(avg gap) the row volume.
+
+    Scale shape: fingerprints with document frequency > ``WINNOW_MAXDF``
+    are dropped BEFORE the self-join (stop-fingerprints — bounds per-hash
+    join fan-out to MAXDF^2, exactly like dedup.py's shingle df-cap), the
+    join moves only (fp, doc_id) pairs, and the pair aggregate is one hash
+    rollup on (doc_a, doc_b). The fingerprint relation (tiny: ~2/(w+1) of
+    k-gram count rows of (doc_id, fp)) is PERSISTED — it feeds three
+    consumers (df-cap, both join sides) and the winnowing scan is the
+    expensive stage; without it Spark recomputes the O(n·w) selection per
+    consumer."""
+    fps = (
+        winnow_fingerprints(spark, sf_dir)
+        .select("doc_id", "fp")
+        .distinct()
+        .persist()
+    )
+    df_cap = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("dfp"))
+        .filter(F.col("dfp") <= WINNOW_MAXDF)
+        .select("fp")
+    )
+    capped = fps.join(F.broadcast(df_cap), "fp")
+    a = capped.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = capped.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= 2)
+    )
+
+
+WINNOW_DUP_SQL = (
+    "WITH wfp AS (" + WINNOW_FP_SQL.strip() + "),\n"
+    + rf"""
+fps AS (SELECT DISTINCT doc_id, fp FROM wfp),
+cap AS (
+  SELECT fp FROM (SELECT fp, count(*) AS dfp FROM fps GROUP BY fp)
+  WHERE dfp <= {WINNOW_MAXDF}
+),
+capped AS (SELECT fps.* FROM fps JOIN cap USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fp
+FROM capped a JOIN capped b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+)
+
+
+QUERIES = {
+    "bm25_topk": bm25_topk,
+    "tfidf_top_terms": tfidf_top_terms,
+    "perplexity_buckets": perplexity_buckets,
+    "winnow_fingerprints": winnow_fingerprints,
+    "winnow_dup_spans": winnow_dup_spans,
+}
+
+ORACLES = {
+    "bm25_topk": BM25_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
+    "perplexity_buckets": PERPLEXITY_SQL,
+    "winnow_fingerprints": WINNOW_FP_SQL,
+    "winnow_dup_spans": WINNOW_DUP_SQL,
+}

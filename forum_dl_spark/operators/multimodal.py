@@ -176,8 +176,153 @@ def crawl_phpbb_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- perceptual-hash near-duplicate detection --------------------------------
+#
+# The image analogue of MinHash-LSH dedup: band the 64-bit phash into 4
+# 16-bit bands, bucket-join on band equality (any shared band -> candidate
+# pair), then verify exact Hamming distance <= HAM_T with bit_count(xor) on
+# the candidates only. Random md5 phashes sit at expected Hamming 32, so
+# nothing random survives the verify; the FIXTURE plants 8 near-copies
+# (2 bits flipped in band 0) so the result is non-vacuous — the planting
+# lives in the fixture layer (_phash_table), not the operator, per the
+# stream_dedup_exact lesson (round-3 ADVICE #4).
+#
+# Scale shape: the band table is 4 rows/media hash-partitioned by
+# (band, value) — the same bucket-bounded candidate generation as
+# dedup_minhash_lsh (dedup.py:187) — and the Hamming verify touches
+# candidate pairs only, joined back to the 4-band vectors (bigint ops,
+# whole-stage codegen). At 100 TB a hot bucket (constant-color thumbnails)
+# gets the same df-cap treatment as winnowing's stop-fingerprints.
+
+N_MEDIA = 200        # matches synth_media/media_features
+_PLANT_N = 8         # planted near-copies: ids 200..207 copy id*25's phash
+_PLANT_STRIDE = 25   # with 2 bits flipped in band 0
+HAM_T = 8
+
+
+def _phash_expr(id_col: str) -> str:
+    """Closed-form 64-bit phash from the synth_media payload spec:
+    phash = md5(hex(payload))[:16], hex(payload) = repeat(md5hex, reps)
+    truncated to 2*n_bytes chars (multimodal.py:61-80)."""
+    return (
+        f"substring(md5(substring(repeat(md5(concat('media:', cast({id_col} as string))), "
+        f"cast(16 + {id_col} % 16 as int)), 1, "
+        f"cast(2 * least(16 * (16 + {id_col} % 16), 256 + {id_col} % 256) as int))), 1, 16)"
+    )
+
+
+def _phash_table(spark: SparkSession) -> DataFrame:
+    """FIXTURE: (media_id, b0..b3) 16-bit phash bands for the 200 synthetic
+    media plus 8 planted near-copies (band 0 xor 3 — Hamming distance 2)."""
+    band = lambda b: (
+        f"cast(conv(substring(ph, {4 * b + 1}, 4), 16, 10) as bigint)"
+    )
+    base = spark.range(N_MEDIA).select(
+        F.col("id").alias("media_id"), F.expr(_phash_expr("id")).alias("ph")
+    ).select(
+        "media_id", *[F.expr(band(b)).alias(f"b{b}") for b in range(4)]
+    )
+    planted = spark.range(_PLANT_N).select(
+        (F.col("id") + N_MEDIA).alias("media_id"),
+        F.expr(_phash_expr(f"(id * {_PLANT_STRIDE})")).alias("ph"),
+    ).select(
+        "media_id",
+        F.expr(f"cast(({band(0)}) ^ 3 as bigint)").alias("b0"),
+        *[F.expr(band(b)).alias(f"b{b}") for b in range(1, 4)],
+    )
+    return base.unionByName(planted)
+
+
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ph = _phash_table(spark)
+    bands = ph.select(
+        "media_id",
+        F.explode(
+            F.expr("array(struct(0 as b, b0 as v), struct(1 as b, b1 as v), "
+                   "struct(2 as b, b2 as v), struct(3 as b, b3 as v))")
+        ).alias("s"),
+    ).select("media_id", F.col("s.b").alias("b"), F.col("s.v").alias("v"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["b", "v"])
+        .filter(F.col("x.media_id") < F.col("y.media_id"))
+        .select(
+            F.col("x.media_id").alias("media_a"),
+            F.col("y.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    a = ph.select(*[F.col(c).alias(f"{c}_a") for c in ph.columns])
+    b = ph.select(*[F.col(c).alias(f"{c}_b") for c in ph.columns])
+    ham = (
+        "cast(bit_count(b0_a ^ b0_b) + bit_count(b1_a ^ b1_b) + "
+        "bit_count(b2_a ^ b2_b) + bit_count(b3_a ^ b3_b) as bigint)"
+    )
+    return (
+        cand.join(a, cand.media_a == a.media_id_a)
+        .join(b, cand.media_b == b.media_id_b)
+        .select("media_a", "media_b", F.expr(ham).alias("hamming"))
+        .filter(F.col("hamming") <= HAM_T)
+    )
+
+
+_PH_DUCK = (
+    "substring(md5(substring(repeat(md5('media:' || {id}), 16 + {id} % 16), "
+    "1, 2 * least(16 * (16 + {id} % 16), 256 + {id} % 256))), 1, 16)"
+)
+_BAND_DUCK = "CAST(concat('0x', substring(ph, {o}, 4)) AS BIGINT)"
+
+MEDIA_PHASH_NEARDUP_SQL = rf"""
+WITH base AS (
+  SELECT id AS media_id, {_PH_DUCK.format(id="id")} AS ph
+  FROM range(0, {N_MEDIA}) t(id)
+),
+base_b AS (
+  SELECT media_id,
+         {_BAND_DUCK.format(o=1)} AS b0, {_BAND_DUCK.format(o=5)} AS b1,
+         {_BAND_DUCK.format(o=9)} AS b2, {_BAND_DUCK.format(o=13)} AS b3
+  FROM base
+),
+planted AS (
+  SELECT id + {N_MEDIA} AS media_id,
+         {_PH_DUCK.format(id=f"(id * {_PLANT_STRIDE})")} AS ph
+  FROM range(0, {_PLANT_N}) t(id)
+),
+planted_b AS (
+  SELECT media_id,
+         xor({_BAND_DUCK.format(o=1)}, 3) AS b0, {_BAND_DUCK.format(o=5)} AS b1,
+         {_BAND_DUCK.format(o=9)} AS b2, {_BAND_DUCK.format(o=13)} AS b3
+  FROM planted
+),
+ph AS (SELECT * FROM base_b UNION ALL SELECT * FROM planted_b),
+bands AS (
+  SELECT media_id, b, v FROM (
+    SELECT media_id, unnest([
+      struct_pack(b := 0, v := b0), struct_pack(b := 1, v := b1),
+      struct_pack(b := 2, v := b2), struct_pack(b := 3, v := b3)]) AS s
+    FROM ph
+  ) q(media_id, s), LATERAL (SELECT s.b AS b, s.v AS v) l
+),
+cand AS (
+  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+  FROM bands x JOIN bands y USING (b, v)
+  WHERE x.media_id < y.media_id
+)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+          + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+         AS BIGINT) AS hamming
+FROM cand
+JOIN ph pa ON cand.media_a = pa.media_id
+JOIN ph pb ON cand.media_b = pb.media_id
+WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+    + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) <= {HAM_T}
+"""
+
+
 QUERIES = {
     "media_features": media_features,
+    "media_phash_neardup": media_phash_neardup,
     "crawl_discourse_spans": crawl_discourse_spans,
     "crawl_phpbb_files": crawl_phpbb_files,
 }
@@ -188,6 +333,7 @@ QUERIES = {
 # the 16 digest bytes (full repeats + remainder prefix). The two crawl
 # smokes stay rows-only (iterative stateful crawl, not SQL-expressible).
 ORACLES: dict[str, str] = {
+    "media_phash_neardup": MEDIA_PHASH_NEARDUP_SQL,
     "media_features": """
 WITH m AS (
   SELECT id AS media_id,

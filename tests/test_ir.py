@@ -1,0 +1,141 @@
+"""IR / winnowing / phash-neardup operator semantics + plan guards.
+
+Oracle equality for every ir.py operator is covered by
+test_operators_oracle.py (auto-registered); these tests pin the properties
+the oracle can't see: the winnowing detection guarantee on PLANTED inputs,
+the planted-pair recovery of the phash near-dup, and plan shapes (the
+materialized-hash-array CSE, the BM25 TakeOrdered top-k).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_winnow_hash_array_materialized_once(spark):
+    """The k-gram md5 array must be built ONCE per row: if a refactor (or
+    CollapseProject) inlines it into the window-transform lambda, the md5
+    build re-runs per window element — O(n^2) per document. Exactly one
+    md5( in the executed plan pins the materialization."""
+    from forum_dl_spark.operators.ir import winnow_fingerprints
+
+    plan = _plan(winnow_fingerprints(spark, SF))
+    assert plan.count("md5(") == 1, plan
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """Top-k must be TakeOrdered (per-partition heap + driver merge), not a
+    global sort of every scored document."""
+    from forum_dl_spark.operators.ir import bm25_topk
+
+    plan = _plan(bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [
+        (i, t, "en", "s0", len(t))
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_winnow_detection_guarantee(spark, tmp_path):
+    """SIGMOD'03 Thm. 2: any shared literal run of >= k + w - 1 chars
+    (12 + 8 - 1 = 19 here) yields at least one shared fingerprint. Plant a
+    60-char shared run inside otherwise-disjoint documents and assert the
+    pair surfaces in winnow_dup_spans (>= 2 shared fingerprints — a 60-char
+    run selects ~ (60-19)/((w+1)/2) ~ 9 expected fingerprints)."""
+    from forum_dl_spark.operators.ir import winnow_dup_spans, winnow_fingerprints
+
+    shared = "shared duplicated span of text that winnowing must detect here"
+    assert len(shared) >= 19 + 40
+    texts = [
+        "alpha beta gamma delta epsilon zeta " + shared + " eta theta iota",
+        "one two three four five six seven " + shared + " eight nine ten",
+        "completely unrelated third document with no overlap at all kappa",
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+
+    fps = winnow_fingerprints(spark, sf)
+    by_doc = {
+        r["doc_id"]: set()
+        for r in fps.select("doc_id").distinct().collect()
+    }
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared run must share >=1 fingerprint"
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_fp"]
+        for r in winnow_dup_spans(spark, sf).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_winnow_density(spark):
+    """Winnowing selects ~2/(w+1) of positions (SIGMOD'03 §3). On the real
+    corpus the per-doc fingerprint count must sit well below the k-gram
+    count — the selection must happen BEFORE the explode/shuffle."""
+    from forum_dl_spark.operators.ir import (WINNOW_K, WINNOW_W,
+                                             winnow_fingerprints)
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        (
+            F.length(F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))"))
+            - WINNOW_K + 1
+        ).alias("n_grams"),
+    )
+    n_grams = d.agg(F.sum("n_grams")).collect()[0][0]
+    n_fps = winnow_fingerprints(spark, SF).count()
+    density = n_fps / n_grams
+    # 2/(w+1) = 0.222 expected for random hashes; distinct-dedup pulls it
+    # slightly below — assert a generous band that still catches a
+    # no-selection regression (density 1.0) or a broken window (~0)
+    assert 0.10 < density < 0.35, (n_fps, n_grams)
+
+
+def test_media_phash_neardup_exact_planted_pairs(spark):
+    """The verify stage must recover EXACTLY the 8 planted near-copies
+    (hamming 2 — band 0 xor 3) and nothing else: random md5 phashes sit at
+    expected hamming 32, and no random 64-bit pair lands <= 8."""
+    from forum_dl_spark.operators.multimodal import (_PLANT_N, _PLANT_STRIDE,
+                                                     N_MEDIA,
+                                                     media_phash_neardup)
+
+    rows = media_phash_neardup(spark, SF).collect()
+    got = {(r["media_a"], r["media_b"]): r["hamming"] for r in rows}
+    want = {
+        (k * _PLANT_STRIDE, N_MEDIA + k): 2 for k in range(_PLANT_N)
+    }
+    assert got == want
+
+
+def test_perplexity_buckets_are_balanced(spark):
+    """ntile(3) must split the corpus into near-equal head/middle/tail."""
+    from forum_dl_spark.operators.ir import perplexity_buckets
+    from pyspark.sql import functions as F
+
+    counts = dict(
+        perplexity_buckets(spark, SF)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert set(counts) == {1, 2, 3}
+    assert max(counts.values()) - min(counts.values()) <= 1
