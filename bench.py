@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "winnow_dup_spans",
     "media_phash_neardup",
+    "corpus_pipeline_apply",
 ]
 # per-query sf override: dedup_ngram_jaccard is the LABELED exact all-pairs
 # BASELINE (its scale path is dedup_lsh_verified, benched at full sf) — at

@@ -369,7 +369,9 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_APPLY_SQL = (
+# everything up to and including the CC `labels` CTE — shared between
+# dedup_apply and corpus_pipeline_apply so the two oracles cannot drift
+_DEDUP_LABELS_SQL = (
     _DUCK_SHINGLE_CTE.replace("WITH sh_raw", "WITH RECURSIVE sh_raw", 1)
     + f""",
 mh AS (
@@ -418,12 +420,89 @@ reach(src, dst) AS (
   UNION
   SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
 ),
-labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)"""
+)
+
+DEDUP_APPLY_SQL = (
+    _DEDUP_LABELS_SQL
+    + """
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d JOIN labels l ON d.doc_id = l.doc_id
 WHERE l.cluster_id = d.doc_id
 """
 )
+
+
+def corpus_pipeline_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-corpus build as ONE composed Spark plan:
+    global dedup (exact + LSH-verified near-dup survivors, dedup_apply's
+    rule) → C4-style quality gates (textops.qf_keep_cond — the shared
+    predicate) → GPT-style sequence packing of the surviving corpus
+    (per-source cumulative token offsets over the KEPT docs only).
+
+    This is the dedupe-then-filter-then-pack order production pipelines
+    run (dedup must see pre-filter text so near-identical docs that differ
+    only inside a filtered span still collapse).
+
+    Scale shape: strictly the union of its stages' shapes — the dedup
+    stages' banded/bounded joins, a map-only pushed predicate, and one
+    hash exchange on source for the packing window; the survivor semi-join
+    is label-sided, so document text is touched once before packing. No
+    new shuffle is introduced by the composition itself.
+    """
+    from .textops import _BPE_EXPR, PACK_BUDGET, qf_keep_cond
+    from pyspark.sql import Window
+
+    survivors = dedup_apply(spark, sf_dir).select("doc_id")
+    kept = (
+        _docs(spark, sf_dir)
+        .join(survivors, "doc_id", "left_semi")
+        .filter(qf_keep_cond())
+    )
+    t = kept.select(
+        "doc_id", "lang", "source", F.expr(_BPE_EXPR).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return t.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        F.expr(f"cast(start div {PACK_BUDGET} as int)").alias("pack_id"),
+        F.col("start").__mod__(PACK_BUDGET).cast("long").alias("pack_off"),
+    )
+
+
+def _corpus_pipeline_sql() -> str:
+    from .textops import BPE_DUCK, PACK_BUDGET, QF_PRED_DUCK
+
+    return (
+        _DEDUP_LABELS_SQL
+        + f""",
+kept AS (
+  SELECT d.* FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+  WHERE l.cluster_id = d.doc_id AND {QF_PRED_DUCK}
+),
+kt AS (
+  SELECT doc_id, lang, source, {BPE_DUCK} AS n_tokens FROM kept
+),
+ks AS (
+  SELECT doc_id, lang, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM kt
+)
+SELECT doc_id, lang, source, n_tokens,
+       cast(start // {PACK_BUDGET} AS int) AS pack_id,
+       cast(start % {PACK_BUDGET} AS bigint) AS pack_off
+FROM ks
+"""
+    )
 
 
 # --- semantic (embedding-space) dedup apply ----------------------------------
@@ -708,6 +787,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_apply": dedup_apply,
+    "corpus_pipeline_apply": corpus_pipeline_apply,
     "semantic_dedup_apply": semantic_dedup_apply,
     "stratified_sample": stratified_sample,
     "mix_sample": mix_sample,
@@ -718,6 +798,7 @@ ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_clusters_star": DEDUP_CLUSTERS_SQL,
     "dedup_apply": DEDUP_APPLY_SQL,
+    "corpus_pipeline_apply": _corpus_pipeline_sql(),
     "semantic_dedup_apply": _semantic_dedup_sql(),
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "mix_sample": MIX_SAMPLE_SQL,

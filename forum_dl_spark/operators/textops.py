@@ -315,13 +315,10 @@ QF_MIN_ALPHA = 0.6
 QF_MIN_STOPWORD = 0.02
 
 
-def quality_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered-corpus EMIT (companion to ``pipeline.dedup_apply``): keep
-    docs passing the C4-style quality gates and return the surviving rows.
-    One narrow projection + filter over the documents scan — no shuffle,
-    no join; at 100 TB this is a map-only pass whose predicate pushes into
-    the scan."""
-    d = _docs(spark, sf_dir)
+def qf_keep_cond() -> F.Column:
+    """The C4-style keep predicate as a Column over a ``text`` column —
+    shared by quality_filter_apply and pipeline.corpus_pipeline_apply so
+    the two operators can never drift apart."""
     n = F.length("text")
     alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
     stop = F.expr(
@@ -329,24 +326,37 @@ def quality_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         " x -> x in ('the','a','and','of','to','in')))"
     )
     n_tok = F.expr(r"size(filter(split(text, '\\s+'), x -> x != ''))")
-    keep = (
+    return (
         (F.round(alpha / F.greatest(n, F.lit(1)), 6) >= QF_MIN_ALPHA)
         & (F.round(stop / F.greatest(n_tok, F.lit(1)), 6) >= QF_MIN_STOPWORD)
         & n.between(QF_MIN_CHARS, QF_MAX_CHARS)
     )
-    return d.filter(keep).select("doc_id", "lang", "source", "n_chars")
 
 
-QUALITY_FILTER_SQL = rf"""
-SELECT doc_id, lang, source, n_chars FROM documents
-WHERE round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+# the same predicate as a DuckDB WHERE body (shared for composition)
+QF_PRED_DUCK = rf"""round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
             / greatest(length(text), 1), 6) >= {QF_MIN_ALPHA}
   AND round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
                             x -> x in ('the','a','and','of','to','in')))
             / greatest(len(list_filter(regexp_split_to_array(text, '\s+'),
                                        x -> x != '')), 1), 6)
       >= {QF_MIN_STOPWORD}
-  AND length(text) BETWEEN {QF_MIN_CHARS} AND {QF_MAX_CHARS}
+  AND length(text) BETWEEN {QF_MIN_CHARS} AND {QF_MAX_CHARS}"""
+
+
+def quality_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-corpus EMIT (companion to ``pipeline.dedup_apply``): keep
+    docs passing the C4-style quality gates and return the surviving rows.
+    One narrow projection + filter over the documents scan — no shuffle,
+    no join; at 100 TB this is a map-only pass whose predicate pushes into
+    the scan."""
+    d = _docs(spark, sf_dir)
+    return d.filter(qf_keep_cond()).select("doc_id", "lang", "source", "n_chars")
+
+
+QUALITY_FILTER_SQL = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {QF_PRED_DUCK}
 """
 
 
@@ -415,6 +425,13 @@ PACK_BUDGET = 2048
 _BPE_EXPR = (
     r"aggregate(filter(split(text, '\\s+'), x -> x != ''),"
     r" 0L, (acc, x) -> acc + cast(ceil(length(x) / 4.0) as long))"
+)
+
+# DuckDB equivalent of _BPE_EXPR (shared with pipeline.corpus_pipeline_apply)
+BPE_DUCK = (
+    r"CAST(list_sum(list_transform("
+    r"list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''), "
+    r"x -> cast(ceil(length(x) / 4.0) as bigint))) AS BIGINT)"
 )
 
 
