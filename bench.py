@@ -295,11 +295,30 @@ def write_baseline_md(queries: dict, crawl: dict) -> None:
         for k, v in queries.items()
     ]
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "RESULTS.md").write_text("\n".join(lines) + "\n")
+    body = "\n".join(lines) + "\n"
+    (REPO / "BENCH" / "RESULTS.md").write_text(body)
+    # the driver brief names BENCH/BASELINE.md as the scaling-evidence home;
+    # keep it an exact alias of RESULTS.md
+    (REPO / "BENCH" / "BASELINE.md").write_text(body)
 
 
 def main() -> None:
-    queries = run_queries()
+    if "--queries-only" in sys.argv:
+        # child mode: run the analytics phase and emit ONE JSON line
+        print(json.dumps(run_queries()))
+        return
+    # run the analytics phase in a SUBPROCESS so its local[32] JVM is fully
+    # gone before the scaling pairs start — spark.stop() alone leaves the
+    # py4j JVM (heap + background threads) alive for the life of this
+    # process, a measurable competitor for the N/4N crawl runs
+    qp = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve()), "--queries-only"],
+        capture_output=True, text=True, cwd=str(REPO), timeout=3600,
+    )
+    sys.stderr.write(qp.stderr)
+    if qp.returncode != 0:
+        raise RuntimeError(f"analytics phase failed:\n{qp.stdout}\n{qp.stderr}")
+    queries = json.loads(qp.stdout.strip().splitlines()[-1])
     crawl = run_crawl_scaling()
     write_baseline_md(queries, crawl)
     total = round(sum(queries.values()), 3)
