@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "winnow_dup_spans",
     "media_phash_neardup",
     "corpus_pipeline_apply",
+    "decontaminate_apply",
+    "corpus_datasheet",
+    "pagerank_topk",
+    "hits_topk",
 ]
 # per-query sf override: dedup_ngram_jaccard is the LABELED exact all-pairs
 # BASELINE (its scale path is dedup_lsh_verified, benched at full sf) — at
@@ -179,6 +183,8 @@ def run_crawl_scaling() -> dict:
     # once, and the discarded measurement is preserved verbatim in the
     # JSON (discarded_pairs) so a reviewer sees exactly what was dropped.
     discarded_pairs: list[dict] = []
+    pair_ceilings: list[float] = []
+    pair_norm: list[float] = []
     for _ in range(BENCH_REPS):
         for attempt in range(1 + PAIR_RETRIES):
             lo = _sub(["--cores", str(SCALE_N), "--pages", str(CRAWL_PAGES)])
@@ -197,8 +203,27 @@ def run_crawl_scaling() -> dict:
         runs[SCALE_N].append(lo)
         runs[SCALE_N * 4].append(hi)
         pair_eff.append(e)
+        # temporally-ADJACENT hw-ceiling probe (plain multiprocessing, same
+        # per-page work, no Spark): what N->4N speedup could the HOST offer
+        # in this pair's own time window? A degraded-hypervisor episode
+        # (BENCH/EPISODE_r4.md: 8-core capacity halved for ~2 h while
+        # 2-core stayed near-normal) is invisible to an end-of-run
+        # calibration taken after the box recovers — the per-pair
+        # normalized efficiency (4*eff/adjacent_ceiling, ceiling clamped
+        # to <=4 so a sub-linear box can't inflate it past the raw gate
+        # arithmetic) separates "the code stopped scaling" from "the box
+        # stopped offering 4 cores".
+        cl = _sub(["--cores", str(SCALE_N), "--pages", str(CALIB_PAGES),
+                   "--calibrate"])
+        ch = _sub(["--cores", str(SCALE_N * 4), "--pages", str(CALIB_PAGES),
+                   "--calibrate"])
+        ceil = min(ch["pages_per_sec"] / cl["pages_per_sec"], 4.0)
+        pair_ceilings.append(round(ceil, 2))
+        pair_norm.append(round(4 * e / ceil, 3))
         print(f"  crawl pair: {lo['pages_per_sec']} -> {hi['pages_per_sec']} "
-              f"pages/s, eff {pair_eff[-1]:.3f}", file=sys.stderr)
+              f"pages/s, eff {pair_eff[-1]:.3f} "
+              f"(adjacent hw ceiling {ceil:.2f}x -> normalized "
+              f"{pair_norm[-1]:.3f})", file=sys.stderr)
 
     cal_reps = min(BENCH_REPS, 3)  # calibration is context, not the gate
     cal_runs = {
@@ -239,6 +264,12 @@ def run_crawl_scaling() -> dict:
         # reviewer sees both; the gate number stays scaling_efficiency.
         "normalized_efficiency": round(4 * eff / hw_clamped, 3),
         "normalized_efficiency_unclamped": round(4 * eff / hw_speedup, 3),
+        # per-pair ADJACENT ceilings + normalizations (see loop comment):
+        # the median of these is the number robust to a mid-run
+        # degraded-host window
+        "pair_hw_ceilings": pair_ceilings,
+        "normalized_efficiency_pairs": pair_norm,
+        "normalized_efficiency_adjacent": round(_median(pair_norm), 3),
         "warmup_pairs": WARMUP_PAIRS,
         "discarded_pairs": discarded_pairs,
         "items": hi_m.get("items", lo_m.get("items")),
@@ -267,6 +298,13 @@ def write_baseline_md(queries: dict, crawl: dict) -> None:
         f"{crawl['hw_ceiling_speedup']}x, clamped to 4.0): "
         f"{crawl['normalized_efficiency']} "
         "(reference is strictly sequential: ~1 page/RTT, forum_dl/session.py:171-187)",
+        "",
+        f"Per-pair ADJACENT hw ceilings (plain-multiprocessing probe run "
+        f"inside each pair's time window; robust to mid-run degraded-host "
+        f"episodes — see BENCH/EPISODE_r4.md): {crawl.get('pair_hw_ceilings', [])} "
+        f"-> per-pair normalized efficiency "
+        f"{crawl.get('normalized_efficiency_pairs', [])}, median "
+        f"**{crawl.get('normalized_efficiency_adjacent', 'n/a')}**",
         "",
         f"Per-run pages/sec — N: {crawl['pages_per_sec_N_runs']}, "
         f"4N: {crawl['pages_per_sec_4N_runs']}",

@@ -127,9 +127,48 @@ class CrawlResult:
     engine: str
     supersteps: int
     spark: SparkSession = field(repr=False)
+    # time-travel bound (Iceberg-snapshot semantics over the step-dir log):
+    # None = latest; k = read the tables AS OF completed superstep k — the
+    # exact state a run killed after step k (and resumed) would observe.
+    upto_step: int | None = None
+
+    def as_of(self, step: int) -> "CrawlResult":
+        """Snapshot view at superstep ``step`` (time travel).
+
+        Every step dir is an atomic snapshot commit (`_COMPLETE` marker =
+        manifest); reading `<= step` replays the table log to that commit,
+        so ``as_of(k).pages()`` equals the pages() of a crawl whose last
+        completed superstep is k — including the absence of finalize-step
+        ord fixes, which by definition have not happened at k. This is the
+        parquet-native equivalent of an Iceberg `VERSION AS OF` read over
+        the checkpoint (Iceberg jars are absent in this container;
+        README.md documents the layout mapping)."""
+        from dataclasses import replace
+
+        done = self._step_dirs_all()
+        if not done or step < int(done[0].name):
+            raise ValueError(f"no completed superstep <= {step} in {self.workdir}")
+        return replace(
+            self, upto_step=step,
+            supersteps=min(self.supersteps, step + 1),
+        )
+
+    def _step_dirs_all(self) -> list[Path]:
+        return sorted(
+            p
+            for p in Path(self.workdir, "steps").glob("*")
+            if (p / "_COMPLETE").exists()
+        )
+
+    def _step_dirs(self) -> list[Path]:
+        return [
+            p
+            for p in self._step_dirs_all()
+            if self.upto_step is None or int(p.name) <= self.upto_step
+        ]
 
     def _delta(self, name: str) -> DataFrame:
-        paths = sorted(str(p) for p in Path(self.workdir, "steps").glob(f"*/{name}"))
+        paths = [str(p / name) for p in self._step_dirs() if (p / name).exists()]
         return self.spark.read.parquet(*paths)
 
     def parsed(self) -> DataFrame:
@@ -139,7 +178,11 @@ class CrawlResult:
         """Optional trace-position overrides (url -> ord, evict) written by
         engine finalize steps (engines whose reference order is recovered
         post-hoc from the fetched graph, e.g. hackernews)."""
-        paths = sorted(str(p) for p in Path(self.workdir, "steps").glob("*/ord_fix"))
+        paths = [
+            str(p / "ord_fix")
+            for p in self._step_dirs()
+            if (p / "ord_fix").exists()
+        ]
         if not paths:
             return None
         return self.spark.read.parquet(*paths).dropDuplicates(["url"])
@@ -256,8 +299,10 @@ class CrawlResult:
 
     def metrics(self) -> list[dict]:
         out = []
-        for p in sorted(Path(self.workdir, "steps").glob("*/metrics.json")):
-            out.append(json.loads(p.read_text()))
+        for d in self._step_dirs():
+            p = d / "metrics.json"
+            if p.exists():
+                out.append(json.loads(p.read_text()))
         return out
 
 

@@ -14,13 +14,14 @@ Modules:
 - streamq:     drained Structured-Streaming wrappers (stream==batch oracle)
 - corpus:      crawl→pipeline bridge (interleaved spans → flat documents)
 - ir:          BM25 / tf-idf keywords / perplexity buckets / winnowing
+- graph:       link-graph analytics (integer-exact iterative PageRank)
 """
 
-from . import (corpus, dedup, ir, multimodal, pipeline, relational,
+from . import (corpus, dedup, graph, ir, multimodal, pipeline, relational,
                similarity, streamq, textops)
 
 _MODULES = [relational, dedup, textops, similarity, multimodal, pipeline,
-            streamq, corpus, ir]
+            streamq, corpus, ir, graph]
 
 
 def all_queries():

@@ -239,8 +239,9 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CONTAMINATION_SQL = rf"""
-WITH toks AS (
+# shared CTE block: shingles + benchmark side (reused verbatim by the
+# detect query and the decontaminated-corpus EMIT so they cannot drift)
+_CONTAM_CTES = rf"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS t
   FROM documents
@@ -253,11 +254,48 @@ WITH toks AS (
   FROM toks
 ), bench AS (
   SELECT DISTINCT s FROM sh WHERE doc_id % {_CONTAM_MOD} = {_CONTAM_RES}
-)
+)"""
+
+CONTAMINATION_SQL = rf"""
+WITH {_CONTAM_CTES}
 SELECT sh.doc_id, CAST(count(DISTINCT sh.s) AS BIGINT) AS n_hits
 FROM sh JOIN bench USING (s)
 WHERE sh.doc_id % {_CONTAM_MOD} <> {_CONTAM_RES}
 GROUP BY sh.doc_id
+"""
+
+
+def decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated-corpus EMIT (completes the contamination story the
+    way ``dedup_apply`` completes detection): return the training docs —
+    benchmark rows excluded by definition — that share NO word
+    ``n``-gram with the benchmark set.
+
+    Scale shape: the contaminated doc-id set is at most the hit count
+    (small — it is the thing decontamination assumes is rare), so it is
+    BROADCAST into a left-anti join against the documents scan; the
+    training side is touched twice (shingle pass + anti-join pass) but
+    never shuffles on a wide key. At 100 TB the shingle pass reuses
+    contamination_ngram's bloom-then-exact plan."""
+    d = _docs(spark, sf_dir)
+    contaminated = contamination_ngram(spark, sf_dir).select("doc_id")
+    is_bench = F.col("doc_id") % _CONTAM_MOD == _CONTAM_RES
+    return (
+        d.filter(~is_bench)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+DECONTAMINATE_SQL = rf"""
+WITH {_CONTAM_CTES},
+contaminated AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+  WHERE sh.doc_id % {_CONTAM_MOD} <> {_CONTAM_RES}
+)
+SELECT doc_id, source, lang, n_chars FROM documents
+WHERE doc_id % {_CONTAM_MOD} <> {_CONTAM_RES}
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
 
 
@@ -357,6 +395,71 @@ def quality_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_FILTER_SQL = f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE {QF_PRED_DUCK}
+"""
+
+
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Datasheets for datasets' rollup — the one-page per-source summary a
+    corpus release ships with: doc/lang counts, token and char totals,
+    corpus-wide exact-duplicate share (same whitespace-normalized md5
+    fingerprint as dedup_exact, counted ACROSS sources so cross-source
+    copies show up in both), and the C4 quality-gate pass share (the
+    shared ``qf_keep_cond`` predicate — cannot drift from
+    quality_filter_apply).
+
+    Scale shape: one window count over the fingerprint hash (the
+    dedup_exact shuffle, reused semantics) followed by one
+    map-side-combined per-source aggregate; every output ratio is a
+    single division of two exact BIGINTs, so results are bit-stable
+    across partitionings."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    n_tok = F.expr(r"size(filter(split(text, '\\s+'), x -> x != ''))")
+    per = d.select(
+        "source",
+        "lang",
+        F.length("text").alias("nc"),
+        n_tok.alias("nt"),
+        qf_keep_cond().cast("long").alias("k"),
+        fp.alias("fp"),
+    ).withColumn(
+        "is_dup",
+        (F.count(F.lit(1)).over(Window.partitionBy("fp")) > 1).cast("long"),
+    )
+    cnt = F.count(F.lit(1))
+    return per.groupBy("source").agg(
+        cnt.alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("nt").alias("total_tokens"),
+        F.sum("nc").alias("total_chars"),
+        F.round(F.sum("is_dup") / cnt, 6).alias("dup_share"),
+        F.round(F.sum("k") / cnt, 6).alias("kept_share"),
+    )
+
+
+CORPUS_DATASHEET_SQL = rf"""
+WITH per AS (
+  SELECT source, lang,
+         length(text) AS nc,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x != '')) AS nt,
+         CASE WHEN {QF_PRED_DUCK} THEN 1 ELSE 0 END AS k,
+         CASE WHEN count(*) OVER (
+                PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+              ) > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(sum(nc) AS BIGINT) AS total_chars,
+       round(CAST(sum(is_dup) AS BIGINT) / count(*), 6) AS dup_share,
+       round(CAST(sum(k) AS BIGINT) / count(*), 6) AS kept_share
+FROM per
+GROUP BY source
 """
 
 
@@ -724,7 +827,9 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "spans_interleave": spans_interleave,
     "contamination_ngram": contamination_ngram,
+    "decontaminate_apply": decontaminate_apply,
     "source_quality_rollup": source_quality_rollup,
+    "corpus_datasheet": corpus_datasheet,
     "pack_sequences": pack_sequences,
     "pack_manifest": pack_manifest,
     "repetition_stats": repetition_stats,
@@ -741,7 +846,9 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "spans_interleave": SPANS_INTERLEAVE_SQL,
     "contamination_ngram": CONTAMINATION_SQL,
+    "decontaminate_apply": DECONTAMINATE_SQL,
     "source_quality_rollup": SOURCE_ROLLUP_SQL,
+    "corpus_datasheet": CORPUS_DATASHEET_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "pack_manifest": PACK_MANIFEST_SQL,
     "repetition_stats": REPETITION_SQL,
