@@ -1,6 +1,6 @@
 from .detect import DetectResult, detect_engine
-from .superstep import (CrawlConfig, CrawlResult, resume_crawl, run_crawl,
-                        run_crawl_multi, run_crawl_shared)
+from .superstep import (CrawlConfig, CrawlResult, recrawl_reopen, resume_crawl,
+                        run_crawl, run_crawl_multi, run_crawl_shared)
 
 __all__ = [
     "DetectResult",
@@ -11,4 +11,5 @@ __all__ = [
     "run_crawl_multi",
     "run_crawl_shared",
     "resume_crawl",
+    "recrawl_reopen",
 ]

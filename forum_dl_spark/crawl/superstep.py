@@ -148,6 +148,14 @@ class CrawlResult:
         done = self._step_dirs_all()
         if not done or step < int(done[0].name):
             raise ValueError(f"no completed superstep <= {step} in {self.workdir}")
+        # Iceberg VERSION AS OF semantics both ways: an unknown snapshot is
+        # an error — a typo'd FUTURE step must not silently masquerade as
+        # the latest view (round-4 ADVICE)
+        if step > int(done[-1].name):
+            raise ValueError(
+                f"no completed superstep >= {step} in {self.workdir} "
+                f"(last completed: {int(done[-1].name)})"
+            )
         return replace(
             self, upto_step=step,
             supersteps=min(self.supersteps, step + 1),
@@ -297,6 +305,110 @@ class CrawlResult:
             F.col("spans"),
         )
 
+    def link_edges(self) -> DataFrame:
+        """The crawl's discovered-link graph: one row per DISTINCT
+        (src_key, dst_key) where ``src_key`` is the seen-key of the fetched
+        page whose body yielded the candidate and ``dst_key`` the
+        candidate's seen-key — i.e. every 'next' record's lineage, BEFORE
+        the URL-seen gate (discovery happens whether or not the fetch is
+        then suppressed). Column-pruned projection over the parsed deltas
+        (reads no bodies); the distinct is the only wide stage. Oracle:
+        OracleSession.links (tests/test_graph_crawl.py)."""
+        return (
+            self.parsed()
+            .filter(F.col("rec") == "next")
+            .select(
+                F.col("origin").alias("src_key"),
+                F.when(F.col("f_params") == "", F.col("f_url"))
+                .otherwise(F.concat_ws("\x00", "f_url", "f_params"))
+                .alias("dst_key"),
+            )
+            .distinct()
+        )
+
+    def _items_latest(self) -> DataFrame:
+        """Items keyed for snapshot comparison: one row per logical item
+        (type, url, path, subpath), the LATEST emission winning — a
+        recrawled page re-emits its items at a later superstep and that
+        emission supersedes the original. ``h`` is a content hash over
+        every payload field (spans included), so 'changed' detection is
+        field-exact."""
+        items = self.items()
+        key = F.concat_ws(
+            "\x1f",
+            "type",
+            "url",
+            F.array_join(F.coalesce(F.col("path"), F.array()), "."),
+            F.array_join(F.coalesce(F.col("subpath"), F.array()), "."),
+        )
+        h = F.md5(
+            F.to_json(
+                F.struct(
+                    F.col("title"),
+                    F.col("author"),
+                    F.col("creation_time").cast("string").alias("ct"),
+                    F.col("content"),
+                    F.col("content_type"),
+                    F.base64(F.col("content_bytes")).alias("cb"),
+                    F.col("data"),
+                    F.col("spans"),
+                )
+            )
+        )
+        w = Window.partitionBy("k").orderBy(F.desc("superstep"), F.desc("ord"))
+        return (
+            items.select(
+                key.alias("k"), h.alias("h"), "type", "url", "superstep", "ord"
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def diff(self, a: int, b: int) -> DataFrame:
+        """Incremental-recrawl delta between two snapshots (round-4 verdict
+        ask #6 — the first consumer of ``as_of`` time travel): items view
+        of ``as_of(b)`` minus ``as_of(a)``, one row per added / changed /
+        removed logical item. This is the parquet-native equivalent of an
+        Iceberg incremental read between two snapshot ids.
+
+        Scale shape: two column-pruned reads of the parsed deltas (no
+        bodies), one hash per side, a key-partitioned window for
+        latest-wins, and a single full-outer join on the item key — the
+        item key is high-cardinality and uniform, so the join shuffles
+        evenly."""
+        va = self.as_of(a)._items_latest().select(
+            "k",
+            F.col("h").alias("h_a"),
+            F.col("type").alias("type_a"),
+            F.col("url").alias("url_a"),
+            F.col("superstep").alias("superstep_a"),
+        )
+        vb = self.as_of(b)._items_latest().select(
+            "k",
+            F.col("h").alias("h_b"),
+            F.col("type").alias("type_b"),
+            F.col("url").alias("url_b"),
+            F.col("superstep").alias("superstep_b"),
+        )
+        joined = va.join(vb, "k", "full_outer")
+        change = (
+            F.when(F.col("h_a").isNull(), F.lit("added"))
+            .when(F.col("h_b").isNull(), F.lit("removed"))
+            .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+        )
+        return (
+            joined.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(
+                "change",
+                F.coalesce("type_b", "type_a").alias("type"),
+                F.coalesce("url_b", "url_a").alias("url"),
+                "superstep_a",
+                "superstep_b",
+            )
+        )
+
     def metrics(self) -> list[dict]:
         out = []
         for d in self._step_dirs():
@@ -367,6 +479,16 @@ def _make_fetch_parse(server: object, retries: int, keep_bodies: bool):
                 def emit_frontier(rec: str, ch: dict, attempt: int) -> None:
                     emit(
                         rec=rec,
+                        # link lineage: the discovering page's seen-key
+                        # (reference semantics of Item.origin = the fetch
+                        # response an entity was parsed from,
+                        # extractors/common.py:436,505) — feeds
+                        # CrawlResult.link_edges / pagerank_crawl
+                        origin=(
+                            row["url"]
+                            if not row["params"]
+                            else f"{row['url']}\x00{row['params']}"
+                        ),
                         f_url=ch["url"],
                         f_params=ch["params"],
                         f_kind=ch["kind"],
@@ -953,6 +1075,80 @@ def resume_crawl(
     last = int(done[-1].name)
     return _loop(
         spark, server, wd, meta["engine"], meta["base_url"], config, start_step=last + 1
+    )
+
+
+def recrawl_reopen(
+    spark: SparkSession,
+    server: object,
+    workdir: str,
+    reopen_keys: list[str],
+    config: CrawlConfig | None = None,
+) -> CrawlResult:
+    """TTL-style incremental recrawl (round-4 verdict ask #6): re-open
+    already-seen URLs on a FINISHED crawl and continue the superstep log,
+    so ``diff(old_last_step, new_last_step)`` yields exactly the delta the
+    refresh produced.
+
+    Mechanism: the reopened pages' ORIGINAL frontier rows (first-discovery
+    ord, attempt reset) are injected as a synthetic step's pending
+    frontier — injected rows bypass the URL-seen gate the way seed rows
+    do, while everything they re-discover still faces it, so unchanged
+    children are dropped and only genuinely NEW keys (e.g. a post chunk
+    that did not exist last crawl) are fetched. The seen set is NOT
+    rewritten — re-fetched pages just append fresh seen rows at the new
+    superstep (the anti-join is duplicate-insensitive), which keeps every
+    pre-recrawl snapshot bit-identical under ``as_of``. A policy layer
+    that re-opens keys via the CANDIDATE path instead (e.g. age-based TTL
+    over 10^10 keys) would additionally delete them from the cuckoo sketch
+    (CuckooState.delete exists for exactly that); the injection path here
+    doesn't need it because injected rows never meet the gate.
+
+    Works for engines without post-wave hooks (the hooked engines — HN —
+    recover order post-hoc and would need their finalize replayed; not
+    wired here)."""
+    wd = Path(workdir)
+    meta = json.loads((wd / "meta.json").read_text())
+    if config is None:
+        stored = meta.get("config")
+        config = (
+            CrawlConfig(**{**stored, "max_supersteps": CrawlConfig.max_supersteps})
+            if stored is not None
+            else CrawlConfig()
+        )
+    _validate_config(config)
+    done = sorted(p for p in (wd / "steps").glob("*") if (p / "_COMPLETE").exists())
+    if not done:
+        raise ValueError(f"nothing to recrawl in {workdir}: no completed superstep")
+    last = int(done[-1].name)
+    fr_paths = [str(p / "frontier") for p in done if (p / "frontier").exists()]
+    hist = spark.read.parquet(*fr_paths)
+    keys_df = spark.createDataFrame([(k,) for k in reopen_keys], "seen_key string")
+    w = Window.partitionBy("seen_key").orderBy("ord")
+    reopened = (
+        hist.join(F.broadcast(keys_df), "seen_key")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("attempt", F.lit(0))
+    )
+    found = reopened.count()
+    if found != len(set(reopen_keys)):
+        raise ValueError(
+            f"recrawl_reopen: {len(set(reopen_keys)) - found} of "
+            f"{len(set(reopen_keys))} keys never appeared in this crawl's "
+            "frontier — nothing to re-open for them"
+        )
+    inject = wd / "steps" / f"{last + 1:05d}"
+    inject.mkdir(parents=True)
+    _atomic_write(reopened, inject / "frontier")
+    (inject / "metrics.json").write_text(
+        json.dumps({"superstep": last + 1, "reopened": found})
+    )
+    (inject / "_COMPLETE").write_text("ok")
+    return _loop(
+        spark, server, wd, meta["engine"], meta["base_url"], config,
+        start_step=last + 2,
     )
 
 

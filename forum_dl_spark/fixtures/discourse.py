@@ -44,6 +44,7 @@ class SyntheticDiscourse:
         topics_per_page: int = 2,
         duplicate_topic: bool = True,
         fail_urls: dict[str, int] | None = None,
+        edited_posts: dict[int, str] | None = None,
     ) -> None:
         self.seed = seed
         self.n_cats = n_cats
@@ -53,6 +54,10 @@ class SyntheticDiscourse:
         self.topics_per_page = topics_per_page
         self.duplicate_topic = duplicate_topic
         self.fail_urls = fail_urls or {}
+        # post_id -> replacement cooked HTML, mutable BETWEEN crawls — the
+        # content-edit hook the incremental-recrawl tests flip
+        # (tests/test_recrawl_diff.py); empty = pristine deterministic model
+        self.edited_posts = edited_posts or {}
 
     # -- deterministic content model --------------------------------------
     def categories(self) -> list[dict]:
@@ -103,6 +108,8 @@ class SyntheticDiscourse:
     def cooked(self, post_id: int) -> str:
         """Post HTML with interleaved text and media embeds (shared
         renderer, fixtures/content.py)."""
+        if post_id in self.edited_posts:
+            return self.edited_posts[post_id]
         return interleaved_html(self.seed, post_id)
 
     def post_json(self, topic_id: int, n: int) -> dict:

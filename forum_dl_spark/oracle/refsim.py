@@ -60,6 +60,9 @@ class OracleResult:
     trace: list[tuple[str, str]]
     seen: dict[str, str]
     items: list[OracleItem]
+    # discovered-link lineage (src seen-key -> dst seen-key); see
+    # OracleSession.links
+    links: list[tuple[str, str]] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +190,10 @@ class _DiscourseSim:
     def board_threads(self, board: _Board):
         try:
             state_url, page = board.url, 1
+            # lineage: page 1 was discovered when site.json's categories
+            # yielded this board (board.origin); page N+1 from page N's
+            # more_topics_url — mirrors which fetched BODY produced the URL
+            src = board.origin
             while True:
                 if state_url == board.url:
                     rel = get_relative_url(state_url, self.base_url)
@@ -194,7 +201,8 @@ class _DiscourseSim:
                     if len(parts) <= 1 or parts[0] != "c":
                         return
                     state_url = f"{state_url}.json"
-                resp = self.session.get(state_url)
+                resp = self.session.get(state_url, discovered_from=src)
+                src = resp.key
                 page_json = json.loads(resp.body)
                 for data in page_json["topic_list"]["topics"]:
                     tid = str(data["id"])
@@ -221,9 +229,13 @@ class _DiscourseSim:
             state_url = thread.url
             stream: list[int] = []
             first = True
+            # lineage: the thread's first .json fetch was discovered by the
+            # board page that listed it (thread.origin); each posts.json
+            # chunk by the response whose body supplied its id window
+            src = thread.origin
             while True:
                 if first:
-                    resp = self.session.get(f"{state_url}.json")
+                    resp = self.session.get(f"{state_url}.json", discovered_from=src)
                     page_json = json.loads(resp.body)
                     stream = list(page_json["post_stream"]["stream"])
                     state_url = resp.url
@@ -234,8 +246,10 @@ class _DiscourseSim:
                         state_url,
                         params={"post_ids[]": ids},
                         should_cache=False,
+                        discovered_from=src,
                     )
                     page_json = json.loads(resp.body)
+                src = resp.key
                 for data in page_json["post_stream"]["posts"]:
                     stream.pop(0)
                     yield OracleItem(
@@ -345,5 +359,6 @@ def run_reference_discourse(server: object, seed_url: str, retries: int = 4) -> 
     else:
         sim.write_thread(node)
     return OracleResult(
-        base_url=base_url, trace=list(session.trace), seen=session.seen(), items=sim.items
+        base_url=base_url, trace=list(session.trace), seen=session.seen(),
+        items=sim.items, links=list(session.links),
     )

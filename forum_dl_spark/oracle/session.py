@@ -66,6 +66,12 @@ class Response:
         if self.status_code >= 400:
             raise HttpStatusError(f"{self.status_code} {self.url}")
 
+    @property
+    def key(self) -> str:
+        """Canonical fetch identity (seen-key format) of this response —
+        callers pass it as ``discovered_from`` for link-lineage capture."""
+        return join_seen_key(self.url, self.params)
+
 
 @dataclass
 class OracleSession:
@@ -75,6 +81,13 @@ class OracleSession:
     cache: dict[tuple[str, str], Response] = field(default_factory=dict)
     past_requests: set[tuple[str, str]] = field(default_factory=set)
     past_failed: set[tuple[str, str]] = field(default_factory=set)
+    # discovered-link lineage (src seen-key -> dst seen-key), recorded for
+    # every attempted fetch carrying ``discovered_from`` — BEFORE the
+    # cache/visited gates, because discovery happens whether or not the
+    # fetch is then suppressed (the Spark engine likewise logs 'next'
+    # candidate records before the seen anti-join). Oracle for
+    # CrawlResult.link_edges / pagerank_crawl (tests/test_graph_crawl.py).
+    links: list[tuple[str, str]] = field(default_factory=list)
 
     def _do_get(self, url: str, params: dict | None, attempt: int) -> Response:
         pkey = params_key_doseq(params)
@@ -89,8 +102,11 @@ class OracleSession:
         params: dict | None = None,
         should_cache: bool = False,
         should_retry: bool = True,
+        discovered_from: str | None = None,
     ) -> Response:
         key = (url, params_key_doseq(params))
+        if discovered_from is not None:
+            self.links.append((discovered_from, join_seen_key(*key)))
         if key in self.cache:
             resp = self.cache[key]
             if not should_cache:

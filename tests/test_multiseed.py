@@ -268,3 +268,46 @@ def test_shared_frontier_mail_engines_root_seeds(spark, tmp_path):
         for r in shared.pages().filter("kind != 'probe'").collect()
     ]
     assert len(fetched) == len(set(fetched))
+
+
+def test_shared_frontier_three_engine_families(spark, tmp_path):
+    """Round-4 verdict ask #7: ONE shared frontier across all three engine
+    families at once — phpBB (generic CSS scan), Hacker News (hooked
+    driver-wave JSON scan) and HyperKitty (mail archive-index walk) — and
+    each seed's subtree is bit-identical to its standalone run on items
+    AND fetch trace, with the shared seen set covering each solo set."""
+    from forum_dl_spark.fixtures.hackernews import SyntheticHackerNews
+    from forum_dl_spark.fixtures.hyperkitty import SyntheticHyperkitty
+
+    phpbb = SyntheticPhpbb(seed=42, n_cats=1, n_subs=1, n_topics=2, max_posts=4)
+    hn = SyntheticHackerNews(seed=42, n_items=60)
+    hk = SyntheticHyperkitty(seed=42, lists=("alpha.example",),
+                             lists_per_page=2, n_threads=2)
+    srv = _MultiHost(phpbb, hn, hk)
+    seeds = [
+        "https://phpbb.example/",
+        "https://news.ycombinator.com/",
+        "https://hk.example/",
+    ]
+    shared = run_crawl_shared(spark, srv, seeds, str(tmp_path / "tri"))
+    got = _seed_items(shared, strip_prefix=True)
+    assert sorted(got) == ["00000000", "00000001", "00000002"]
+    shared_pages = [
+        (r["ord"][:8], r["ord"][8:], r["url"], r["params"] or "")
+        for r in shared.pages().orderBy("ord", "attempt").collect()
+    ]
+    shared_seen = {(r["seen_key"], r["status"]) for r in shared.seen().collect()}
+    for i, seed in enumerate(seeds):
+        solo = run_crawl(spark, srv, seed, str(tmp_path / f"tsolo{i}"),
+                         CrawlConfig())
+        assert got[f"{i:08x}"] == _seed_items(solo, strip_prefix=False)["-"]
+        want_trace = [
+            (r["ord"], r["url"], r["params"] or "")
+            for r in solo.pages().orderBy("ord", "attempt").collect()
+        ]
+        got_trace = [
+            (o, u, p) for pre, o, u, p in shared_pages if pre == f"{i:08x}"
+        ]
+        assert got_trace == want_trace
+        solo_seen = {(r["seen_key"], r["status"]) for r in solo.seen().collect()}
+        assert solo_seen <= shared_seen

@@ -57,3 +57,11 @@ def test_as_of_before_first_step_raises(runs):
     full, _ = runs
     with pytest.raises(ValueError):
         full.as_of(-1)
+
+
+def test_as_of_after_last_step_raises(runs):
+    # Iceberg VERSION AS OF symmetry (round-4 ADVICE): a FUTURE step is an
+    # unknown snapshot and must raise, not silently return the latest view
+    full, _ = runs
+    with pytest.raises(ValueError):
+        full.as_of(full.supersteps + 100)
