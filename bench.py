@@ -12,6 +12,24 @@ Two parts:
    scaling already caps 8->32-core speedup at ~2.3x (measured, see
    BENCH/BASELINE.md), so 2->8 is the honest N->4N proxy.
 
+Round-5 protocol change (round-4 verdict asks #1/#8): the whole run is
+WALL-CLOCK BUDGETED. Round 4 hard-coded 450k-page waves and the driver
+killed the bench at its ~60-min window (BENCH_r04: rc=124, parsed=null —
+no evidence at all beats slightly-noisier evidence every time). Now:
+
+- ``SPARK_GRAFT_BENCH_BUDGET_SEC`` (default 2400) is the total wall target,
+  chosen to land well inside the driver's observed kill window.
+- the warmup pair doubles as a SIZING PROBE: its measured pages/sec and
+  per-subprocess fixed cost decide how many pages each recorded pair gets
+  so that ``BENCH_REPS`` pairs + per-pair adjacent ceiling probes fit the
+  remaining budget (clamped to [PROBE_PAGES, SPARK_GRAFT_BENCH_PAGES_MAX]).
+  Explicitly setting ``SPARK_GRAFT_BENCH_PAGES`` bypasses auto-sizing.
+- the result JSON is built INCREMENTALLY: after the analytics phase and
+  after every completed pair it is flushed to ``BENCH/bench_partial.json``,
+  and a SIGTERM/SIGINT handler prints the partial JSON (with
+  ``"partial": true``) to stdout before dying — a driver kill mid-pair
+  still yields machine-readable evidence for every completed section.
+
 Results also land in BENCH/RESULTS.md.
 """
 
@@ -19,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -88,27 +107,129 @@ BENCH_QUERIES = [
     "corpus_datasheet",
     "pagerank_topk",
     "hits_topk",
+    # NOT benched (like the other crawl smokes): pagerank_crawl's cost is
+    # ~90% running the fixture crawl, which the crawl scaling section
+    # already measures at 4 orders of magnitude more pages
 ]
-# per-query sf override: dedup_ngram_jaccard is the LABELED exact all-pairs
-# BASELINE (its scale path is dedup_lsh_verified, benched at full sf) — at
-# sf0.1 it alone ate ~20% of the suite wall for a number nobody ships, so
-# it is timed at the next sf down (round-3 verdict ask #6)
+# per-query sf override (round-3 ask #6, extended per round-4 ask #2/#3).
+# Measured basis (sf0.1 vs sf0.01 wall, BENCH/RESULTS.md r4 + r5 timing):
+# - dedup_ngram_jaccard: the LABELED exact all-pairs BASELINE (scale path =
+#   dedup_lsh_verified, benched at full sf) — quadratic, nobody ships it.
+# - dedup_apply (5.7 -> ~4.8) and dedup_clusters (11.1 -> ~9.4): the
+#   connected-components EMITs; iteration-count (not data) dominated, the
+#   full-sf numbers add wall without adding signal.
+# - stream_dedup_exact / stream_sessionize (5.7/5.4 -> ~3.4/~5.7): drained
+#   AvailableNow micro-batch fixed overhead dominates at BOTH sfs; timing
+#   them at full sf measures Structured Streaming's constant, twice.
+# NOT overridden despite the round-4 verdict suggesting it:
+# dedup_minhash_lsh — it carries the shared shingle-memo build at full sf;
+# moving it small-sf just shifts that build onto dedup_lsh_verified
+# (measured: 9.45+3.2 before vs ~4.1+~9 after — net zero), and minhash is
+# the headline scale-path dedup number, worth a full-sf measurement.
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
-QUERY_SF_OVERRIDE = {"dedup_ngram_jaccard": SMALL_SF_DIR}
-# round-3 verdict ask #1: make each scaling pair BIGGER, not more numerous —
-# at 150k pages (~60 s of N=2 work) one page-cache/governor hiccup sank a
-# pair below the 0.8 gate in the driver's re-run; 450k pages puts ~10 min
-# of work behind each pair so OS noise amortizes, with 3 recorded pairs
-# (median) instead of 5 to keep total bench wall ~1 h
-CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "450000"))
+QUERY_SF_OVERRIDE = {
+    "dedup_ngram_jaccard": SMALL_SF_DIR,
+    "dedup_apply": SMALL_SF_DIR,
+    "dedup_clusters": SMALL_SF_DIR,
+    "stream_dedup_exact": SMALL_SF_DIR,
+    "stream_sessionize": SMALL_SF_DIR,
+}
+# total wall-clock target for the WHOLE bench (analytics + scaling pairs).
+# The driver's observed kill window is ~60 min (BENCH_r04 rc=124 at the
+# round-4 450k-page protocol); 2400 s leaves a 2x-ish safety factor.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400"))
+# hard ceiling on auto-sized pages (the round-4 value); floor = probe size
+PAGES_MAX = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES_MAX", "450000"))
+PROBE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_PAGES", "60000"))
+# explicit page count bypasses auto-sizing ("auto" = size from the probe)
+CRAWL_PAGES_ENV = os.environ.get("SPARK_GRAFT_BENCH_PAGES", "auto")
 SCALE_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2"))
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-WARMUP_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+MIN_PAIRS = 2  # never auto-size below this many recorded pairs
 CALIB_PAGES = int(os.environ.get("SPARK_GRAFT_CALIB_PAGES", "30000"))
 # one retry per sub-gate pair (interference outliers are one-sided; the
-# discarded measurement stays in the JSON)
+# discarded measurement stays in the JSON) — budget-gated: a retry is
+# skipped if it would push the run past the wall-clock budget
 PAIR_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_PAIR_RETRIES", "1"))
 RETRY_BELOW = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BELOW", "0.8"))
+# wall reserved for the final writeout + slack for estimate error
+RESERVE_SEC = 90.0
+
+T_START = time.time()
+
+
+def _elapsed() -> float:
+    return time.time() - T_START
+
+
+def _remaining() -> float:
+    return BUDGET_SEC - _elapsed() - RESERVE_SEC
+
+
+# --- incremental result + kill-safe emission (round-4 ask #8) ---------------
+
+RESULT: dict = {
+    "metric": "analytics_suite_sec",
+    "value": None,
+    "unit": "sec",
+    "queries": {},
+    "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+    "sf_overrides": {
+        k: float(v.rstrip("/").split("sf")[-1]) for k, v in QUERY_SF_OVERRIDE.items()
+    },
+    "crawl": None,
+    "budget_sec": BUDGET_SEC,
+}
+
+
+def _flush_partial() -> None:
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    tmp = REPO / "BENCH" / "bench_partial.json.tmp"
+    tmp.write_text(json.dumps(RESULT))
+    tmp.replace(REPO / "BENCH" / "bench_partial.json")
+
+
+# the in-flight child (analytics phase or a bench_crawl JVM), killed by the
+# SIGTERM handler — `timeout` signals only THIS process, and an orphaned
+# local[8] JVM would keep competing for the box through the driver's next
+# phase
+_CHILD: list[subprocess.Popen] = []
+
+
+def _emit_and_die(signum, frame) -> None:
+    # a driver kill (SIGTERM from `timeout`) or Ctrl-C mid-run: print the
+    # JSON accumulated so far, marked partial, so the driver's last-line
+    # parse still yields every completed section
+    RESULT["partial"] = True
+    RESULT["killed_at_sec"] = round(_elapsed(), 1)
+    for p in _CHILD:
+        try:
+            p.kill()
+        except Exception:
+            pass
+    try:
+        _flush_partial()
+    except Exception:
+        pass
+    sys.stdout.write("\n" + json.dumps(RESULT) + "\n")
+    sys.stdout.flush()
+    os._exit(143 if signum == signal.SIGTERM else 130)
+
+
+def _run_child(cmd: list[str], timeout: float) -> subprocess.CompletedProcess:
+    """subprocess.run equivalent that registers the child for kill-on-TERM."""
+    p = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True, cwd=str(REPO))
+    _CHILD.append(p)
+    try:
+        out, err = p.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        out, err = p.communicate()
+        raise subprocess.TimeoutExpired(cmd, timeout, output=out, stderr=err)
+    finally:
+        _CHILD.remove(p)
+    return subprocess.CompletedProcess(cmd, p.returncode, out, err)
 
 
 def run_queries() -> dict[str, float]:
@@ -140,6 +261,31 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _sub(extra: list[str]) -> dict:
+    """Run a bench_crawl subprocess; one JSON line expected on stdout.
+
+    Round-4 ADVICE: empty stdout and timeouts must fail loudly WITH the
+    child's stderr — an opaque IndexError/TimeoutExpired loses the only
+    diagnostic context there is."""
+    cmd = [sys.executable, "-m", "forum_dl_spark.bench_crawl", *extra]
+    try:
+        p = _run_child(cmd, timeout=3600)
+    except subprocess.TimeoutExpired as e:
+        raise RuntimeError(
+            f"bench_crawl timed out: {cmd}\n--- stdout tail ---\n"
+            f"{(e.stdout or '')[-2000:]}\n--- stderr tail ---\n"
+            f"{(e.stderr or '')[-2000:]}"
+        ) from None
+    lines = (p.stdout or "").strip().splitlines()
+    if p.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench_crawl failed rc={p.returncode}: {cmd}\n--- stdout ---\n"
+            f"{(p.stdout or '')[-2000:]}\n--- stderr tail ---\n"
+            f"{(p.stderr or '')[-2000:]}"
+        )
+    return json.loads(lines[-1])
+
+
 def run_crawl_scaling() -> dict:
     """N vs 4N crawl throughput, measured for the >=0.8 scaling gate.
 
@@ -149,48 +295,122 @@ def run_crawl_scaling() -> dict:
       thermal/turbo state, so the per-pair efficiency is far less exposed
       to clock drift than a ratio of runs minutes apart; the reported gate
       number is the MEDIAN of per-pair efficiencies.
-    - 150k-page waves by default — fixed cost (job scheduling, plan,
-      shuffle setup) is <2% of the wall at this size.
+    - pair size AUTO-SIZED from the probe pair so the protocol fits the
+      wall-clock budget (round 4 proved a fixed 450k-page protocol can
+      outgrow the driver's window and yield NO evidence).
     - every raw run is emitted in the JSON so a reviewer can recompute.
-    - the hardware ceiling (same per-page work via plain multiprocessing)
-      is itself a median-of-REPS and is clamped to <=4.0x: a super-linear
-      calibration (turbo artifact) must not inflate normalized efficiency.
+    - per-pair ADJACENT hw-ceiling probes (plain multiprocessing, same
+      per-page work, no Spark) measure what N->4N speedup the HOST could
+      offer around each pair's own time window — robust to mid-run
+      degraded-host episodes (BENCH/EPISODE_r4.md). NOTE: the probe runs
+      sequentially AFTER its pair, not concurrently, and is much shorter
+      than the pair, so it is a noisier instrument than the pair itself;
+      normalized efficiencies are therefore CLAMPED to <= 1.0 (an
+      "efficiency" above 1 just means the probe underestimated the
+      ceiling) with the raw values kept alongside.
     """
-    def _sub(extra: list[str]) -> dict:
-        p = subprocess.run(
-            [sys.executable, "-m", "forum_dl_spark.bench_crawl",
-             *extra],
-            capture_output=True, text=True, cwd=str(REPO), timeout=3600,
-        )
-        return json.loads(p.stdout.strip().splitlines()[-1])
+    crawl: dict = {"n_cores": SCALE_N, "protocol": "wall-clock-budgeted"}
+    RESULT["crawl"] = crawl
+
+    # ---- probe pair: warmup (JVM JIT + page cache) AND protocol sizing ----
+    t0 = time.time()
+    pl = _sub(["--cores", str(SCALE_N), "--pages", str(PROBE_PAGES)])
+    t1 = time.time()
+    ph = _sub(["--cores", str(SCALE_N * 4), "--pages", str(PROBE_PAGES)])
+    t2 = time.time()
+    rate_n = pl["pages_per_sec"]
+    rate_4n = ph["pages_per_sec"]
+    # fixed per-subprocess overhead = wall - in-bench wave time
+    fixed_n = max(0.0, (t1 - t0) - pl["wall_sec"])
+    fixed_4n = max(0.0, (t2 - t1) - ph["wall_sec"])
+    probe_eff = rate_4n / rate_n / 4
+    print(f"  probe/warmup pair (unrecorded): {rate_n} -> {rate_4n} pages/s, "
+          f"eff {probe_eff:.3f}; subprocess fixed cost "
+          f"{fixed_n:.0f}s/{fixed_4n:.0f}s", file=sys.stderr)
+    crawl["probe"] = {"pages": PROBE_PAGES, "pages_per_sec_N": rate_n,
+                      "pages_per_sec_4N": rate_4n, "eff": round(probe_eff, 3)}
+    _flush_partial()
+
+    # ---- adjacent-ceiling probe cost, measured once on the probe pair ----
+    t3 = time.time()
+    cal_l = _sub(["--cores", str(SCALE_N), "--pages", str(CALIB_PAGES),
+                  "--calibrate"])
+    cal_h = _sub(["--cores", str(SCALE_N * 4), "--pages", str(CALIB_PAGES),
+                  "--calibrate"])
+    ceil_probe_sec = time.time() - t3
+    crawl["probe_ceiling"] = round(
+        min(cal_h["pages_per_sec"] / cal_l["pages_per_sec"], 4.0), 2)
+
+    # ---- size the recorded pairs to the remaining budget ----
+    per_page_sec = 1.0 / rate_n + 1.0 / rate_4n
+    fixed_pair = fixed_n + fixed_4n + ceil_probe_sec
+    if CRAWL_PAGES_ENV != "auto":
+        pages, reps = int(CRAWL_PAGES_ENV), BENCH_REPS
+    else:
+        reps = BENCH_REPS
+        pages = int((_remaining() / reps - fixed_pair) / per_page_sec)
+        if pages < PROBE_PAGES and reps > MIN_PAIRS:
+            reps = MIN_PAIRS
+            pages = int((_remaining() / reps - fixed_pair) / per_page_sec)
+        pages = max(PROBE_PAGES, min(PAGES_MAX, pages))
+    est_pair = pages * per_page_sec + fixed_pair
+    print(f"  sized protocol: {reps} pairs x {pages} pages "
+          f"(~{est_pair:.0f}s/pair incl. ceiling probe; "
+          f"{_remaining():.0f}s budget left)", file=sys.stderr)
+    crawl.update({"pages": pages, "reps": reps})
 
     runs: dict[int, list[dict]] = {SCALE_N: [], SCALE_N * 4: []}
     pair_eff: list[float] = []
-    # warmup pair(s): the first pair after a cold start pays JVM JIT + OS
-    # page-cache warmup and historically lands ~0.03 below the rest — run
-    # it, print it, but do NOT record it in the gate statistics
-    for w in range(WARMUP_PAIRS):
-        wl = _sub(["--cores", str(SCALE_N), "--pages", str(CRAWL_PAGES)])
-        wh = _sub(["--cores", str(SCALE_N * 4), "--pages", str(CRAWL_PAGES)])
-        print(f"  crawl warmup pair (unrecorded): {wl['pages_per_sec']} -> "
-              f"{wh['pages_per_sec']} pages/s, eff "
-              f"{wh['pages_per_sec'] / wl['pages_per_sec'] / 4:.3f}",
-              file=sys.stderr)
-    # outlier control: external interference (a VM neighbor, a kernel
-    # housekeeping burst) only ever SLOWS a run, so a pair far below the
-    # others is a measurement artifact, not a property of the code. Each
-    # pair whose efficiency lands below RETRY_BELOW is re-measured at most
-    # once, and the discarded measurement is preserved verbatim in the
-    # JSON (discarded_pairs) so a reviewer sees exactly what was dropped.
     discarded_pairs: list[dict] = []
     pair_ceilings: list[float] = []
     pair_norm: list[float] = []
-    for _ in range(BENCH_REPS):
+    pair_norm_raw: list[float] = []
+
+    def _snapshot() -> None:
+        med = {c: _median([r["pages_per_sec"] for r in rs]) if rs else None
+               for c, rs in runs.items()}
+        crawl.update({
+            "pages_per_sec_N": med[SCALE_N],
+            "pages_per_sec_4N": med[SCALE_N * 4],
+            "pages_per_sec_N_runs": [r["pages_per_sec"] for r in runs[SCALE_N]],
+            "pages_per_sec_4N_runs": [r["pages_per_sec"] for r in runs[SCALE_N * 4]],
+            "frontier_urls_per_sec_N": _median(
+                [r["frontier_urls_per_sec"] for r in runs[SCALE_N]]) if runs[SCALE_N] else None,
+            "frontier_urls_per_sec_4N": _median(
+                [r["frontier_urls_per_sec"] for r in runs[SCALE_N * 4]]) if runs[SCALE_N * 4] else None,
+            "items_per_sec_4N": _median(
+                [r["items_per_sec"] for r in runs[SCALE_N * 4]]) if runs[SCALE_N * 4] else None,
+            # gate number: median of per-adjacent-pair efficiencies
+            "scaling_efficiency": round(_median(pair_eff), 3) if pair_eff else None,
+            "scaling_efficiency_runs": [round(e, 3) for e in pair_eff],
+            # per-pair ADJACENT ceilings + normalizations; clamped at 1.0
+            # (an efficiency > 1 is the short probe underestimating the
+            # ceiling, not physics) — raw values kept for the reviewer
+            "pair_hw_ceilings": pair_ceilings,
+            "normalized_efficiency_pairs": pair_norm,
+            "normalized_efficiency_pairs_raw": pair_norm_raw,
+            "normalized_efficiency_adjacent": round(_median(pair_norm), 3) if pair_norm else None,
+            "discarded_pairs": discarded_pairs,
+            "items": (runs[SCALE_N * 4][0] if runs[SCALE_N * 4] else
+                      runs[SCALE_N][0] if runs[SCALE_N] else {}).get("items"),
+        })
+        _flush_partial()
+
+    for rep in range(reps):
+        # budget check: skip remaining pairs rather than blow the window —
+        # but never stop below MIN_PAIRS recorded pairs (the gate needs >=2)
+        if len(pair_eff) >= MIN_PAIRS and _remaining() < est_pair:
+            print(f"  budget: {_remaining():.0f}s left < ~{est_pair:.0f}s/pair "
+                  f"— stopping at {len(pair_eff)} recorded pairs",
+                  file=sys.stderr)
+            crawl["stopped_early"] = True
+            break
         for attempt in range(1 + PAIR_RETRIES):
-            lo = _sub(["--cores", str(SCALE_N), "--pages", str(CRAWL_PAGES)])
-            hi = _sub(["--cores", str(SCALE_N * 4), "--pages", str(CRAWL_PAGES)])
+            lo = _sub(["--cores", str(SCALE_N), "--pages", str(pages)])
+            hi = _sub(["--cores", str(SCALE_N * 4), "--pages", str(pages)])
             e = hi["pages_per_sec"] / lo["pages_per_sec"] / 4
-            if e >= RETRY_BELOW or attempt == PAIR_RETRIES:
+            if (e >= RETRY_BELOW or attempt == PAIR_RETRIES
+                    or _remaining() < est_pair):
                 break
             discarded_pairs.append({
                 "pages_per_sec_N": lo["pages_per_sec"],
@@ -203,77 +423,38 @@ def run_crawl_scaling() -> dict:
         runs[SCALE_N].append(lo)
         runs[SCALE_N * 4].append(hi)
         pair_eff.append(e)
-        # temporally-ADJACENT hw-ceiling probe (plain multiprocessing, same
-        # per-page work, no Spark): what N->4N speedup could the HOST offer
-        # in this pair's own time window? A degraded-hypervisor episode
-        # (BENCH/EPISODE_r4.md: 8-core capacity halved for ~2 h while
-        # 2-core stayed near-normal) is invisible to an end-of-run
-        # calibration taken after the box recovers — the per-pair
-        # normalized efficiency (4*eff/adjacent_ceiling, ceiling clamped
-        # to <=4 so a sub-linear box can't inflate it past the raw gate
-        # arithmetic) separates "the code stopped scaling" from "the box
-        # stopped offering 4 cores".
+        # temporally-ADJACENT hw-ceiling probe (see docstring): sequential-
+        # after the pair, short, so treated as a noisy lower bound on the
+        # host's capability in this window
         cl = _sub(["--cores", str(SCALE_N), "--pages", str(CALIB_PAGES),
                    "--calibrate"])
         ch = _sub(["--cores", str(SCALE_N * 4), "--pages", str(CALIB_PAGES),
                    "--calibrate"])
         ceil = min(ch["pages_per_sec"] / cl["pages_per_sec"], 4.0)
         pair_ceilings.append(round(ceil, 2))
-        pair_norm.append(round(4 * e / ceil, 3))
+        raw_norm = 4 * e / ceil
+        pair_norm_raw.append(round(raw_norm, 3))
+        pair_norm.append(round(min(raw_norm, 1.0), 3))
         print(f"  crawl pair: {lo['pages_per_sec']} -> {hi['pages_per_sec']} "
               f"pages/s, eff {pair_eff[-1]:.3f} "
               f"(adjacent hw ceiling {ceil:.2f}x -> normalized "
               f"{pair_norm[-1]:.3f})", file=sys.stderr)
+        _snapshot()
 
-    cal_reps = min(BENCH_REPS, 3)  # calibration is context, not the gate
-    cal_runs = {
-        c: [_sub(["--cores", str(c), "--pages", str(CALIB_PAGES), "--calibrate"])
-            for _ in range(cal_reps)]
-        for c in (SCALE_N, SCALE_N * 4)
-    }
-    med = {c: _median([r["pages_per_sec"] for r in rs]) for c, rs in runs.items()}
-    cal_med = {c: _median([r["pages_per_sec"] for r in rs]) for c, rs in cal_runs.items()}
-    hw_speedup = cal_med[SCALE_N * 4] / cal_med[SCALE_N]
-    hw_clamped = min(hw_speedup, 4.0)
+    # hw-ceiling context: the per-pair adjacent probes ARE the calibration
+    # runs (round 4 ran a separate end-of-run calibration block on top —
+    # redundant wall; the adjacent probes are the better-placed instrument)
+    cal_all = {SCALE_N: cal_l["pages_per_sec"], SCALE_N * 4: cal_h["pages_per_sec"]}
+    hw_speedup = _median(pair_ceilings + [crawl["probe_ceiling"]])
     eff = _median(pair_eff)
-    lo_m, hi_m = runs[SCALE_N][0], runs[SCALE_N * 4][0]
-    return {
-        "n_cores": SCALE_N,
-        "pages": CRAWL_PAGES,
-        "reps": BENCH_REPS,
-        "pages_per_sec_N": med[SCALE_N],
-        "pages_per_sec_4N": med[SCALE_N * 4],
-        "pages_per_sec_N_runs": [r["pages_per_sec"] for r in runs[SCALE_N]],
-        "pages_per_sec_4N_runs": [r["pages_per_sec"] for r in runs[SCALE_N * 4]],
-        "frontier_urls_per_sec_N": _median(
-            [r["frontier_urls_per_sec"] for r in runs[SCALE_N]]),
-        "frontier_urls_per_sec_4N": _median(
-            [r["frontier_urls_per_sec"] for r in runs[SCALE_N * 4]]),
-        "items_per_sec_4N": _median([r["items_per_sec"] for r in runs[SCALE_N * 4]]),
-        # gate number: median of per-adjacent-pair efficiencies
-        "scaling_efficiency": round(eff, 3),
-        "scaling_efficiency_runs": [round(e, 3) for e in pair_eff],
-        # same per-page work via plain multiprocessing — this box's memory-
-        # bandwidth ceiling for N->4N (real clusters add bandwidth per node)
+    crawl.update({
         "hw_ceiling_speedup": round(hw_speedup, 2),
-        "hw_ceiling_pages_per_sec": {str(c): cal_med[c] for c in cal_med},
-        # both normalizations emitted (round-2 advice): the clamp stops a
-        # SUB-linear hw ceiling from inflating the number, but when the
-        # calibration measures super-linear speedup (turbo variance) the
-        # clamped figure is the HIGHER one — report raw alongside so the
-        # reviewer sees both; the gate number stays scaling_efficiency.
-        "normalized_efficiency": round(4 * eff / hw_clamped, 3),
-        "normalized_efficiency_unclamped": round(4 * eff / hw_speedup, 3),
-        # per-pair ADJACENT ceilings + normalizations (see loop comment):
-        # the median of these is the number robust to a mid-run
-        # degraded-host window
-        "pair_hw_ceilings": pair_ceilings,
-        "normalized_efficiency_pairs": pair_norm,
-        "normalized_efficiency_adjacent": round(_median(pair_norm), 3),
-        "warmup_pairs": WARMUP_PAIRS,
-        "discarded_pairs": discarded_pairs,
-        "items": hi_m.get("items", lo_m.get("items")),
-    }
+        "hw_ceiling_pages_per_sec": {str(c): v for c, v in cal_all.items()},
+        "normalized_efficiency": round(min(4 * eff / hw_speedup, 1.0), 3),
+        "normalized_efficiency_raw": round(4 * eff / hw_speedup, 3),
+    })
+    _snapshot()
+    return crawl
 
 
 def write_baseline_md(queries: dict, crawl: dict) -> None:
@@ -283,6 +464,9 @@ def write_baseline_md(queries: dict, crawl: dict) -> None:
         f"- sf dir: `{SF_DIR}`, analytics on local[{CPUS}]",
         f"- crawl wave: {crawl['pages']} pages, local[{crawl['n_cores']}] vs "
         f"local[{crawl['n_cores'] * 4}]",
+        f"- protocol: wall-clock-budgeted ({BUDGET_SEC:.0f}s); pair size "
+        f"auto-sized from the probe pair so the driver's kill window can no "
+        f"longer outrun the evidence (round-4 lesson)",
         "",
         "## Crawl engine (north-star metric)",
         "",
@@ -292,18 +476,21 @@ def write_baseline_md(queries: dict, crawl: dict) -> None:
         f"| {crawl['n_cores'] * 4} | {crawl['pages_per_sec_4N']} | {crawl['frontier_urls_per_sec_4N']} |",
         "",
         f"**Scaling efficiency (N->4N): {crawl['scaling_efficiency']}** "
-        f"(median of {crawl['reps']} adjacent-pair runs: "
-        f"{crawl['scaling_efficiency_runs']}); normalized to this box's "
-        f"measured memory-bandwidth ceiling (plain-multiprocessing speedup "
-        f"{crawl['hw_ceiling_speedup']}x, clamped to 4.0): "
+        f"(median of {len(crawl['scaling_efficiency_runs'])} adjacent-pair "
+        f"runs: {crawl['scaling_efficiency_runs']}); normalized to this "
+        f"box's measured memory-bandwidth ceiling (median of the per-pair "
+        f"adjacent plain-multiprocessing probes, {crawl['hw_ceiling_speedup']}x): "
         f"{crawl['normalized_efficiency']} "
         "(reference is strictly sequential: ~1 page/RTT, forum_dl/session.py:171-187)",
         "",
         f"Per-pair ADJACENT hw ceilings (plain-multiprocessing probe run "
-        f"inside each pair's time window; robust to mid-run degraded-host "
-        f"episodes — see BENCH/EPISODE_r4.md): {crawl.get('pair_hw_ceilings', [])} "
+        f"sequentially right AFTER each pair, in its time window — a short, "
+        f"noisier instrument than the pair itself, so normalized values are "
+        f"clamped at 1.0; >1 raw means the probe underestimated the ceiling): "
+        f"{crawl.get('pair_hw_ceilings', [])} "
         f"-> per-pair normalized efficiency "
-        f"{crawl.get('normalized_efficiency_pairs', [])}, median "
+        f"{crawl.get('normalized_efficiency_pairs', [])} "
+        f"(raw: {crawl.get('normalized_efficiency_pairs_raw', [])}), median "
         f"**{crawl.get('normalized_efficiency_adjacent', 'n/a')}**",
         "",
         f"Per-run pages/sec — N: {crawl['pages_per_sec_N_runs']}, "
@@ -321,9 +508,9 @@ def write_baseline_md(queries: dict, crawl: dict) -> None:
         "",
         "Note: the doc-shingle relation is built once and persisted, then "
         "shared by every shingle consumer — the build cost lands on the "
-        "FIRST full-sf shingle query in suite order (dedup_minhash_lsh now "
-        "that dedup_ngram_jaccard runs at the small sf; before round 4 it "
-        "landed on jaccard and made minhash look artificially cheap).",
+        "FIRST full-sf shingle query in suite order (dedup_minhash_lsh). "
+        "Likewise the winnowing fingerprint relation is built by "
+        "winnow_fingerprints and reused by winnow_dup_spans.",
         "",
         "| query | sec |",
         "|---|---|",
@@ -345,37 +532,31 @@ def main() -> None:
         # child mode: run the analytics phase and emit ONE JSON line
         print(json.dumps(run_queries()))
         return
+    signal.signal(signal.SIGTERM, _emit_and_die)
+    signal.signal(signal.SIGINT, _emit_and_die)
     # run the analytics phase in a SUBPROCESS so its local[32] JVM is fully
     # gone before the scaling pairs start — spark.stop() alone leaves the
     # py4j JVM (heap + background threads) alive for the life of this
     # process, a measurable competitor for the N/4N crawl runs
-    qp = subprocess.run(
-        [sys.executable, str(Path(__file__).resolve()), "--queries-only"],
-        capture_output=True, text=True, cwd=str(REPO), timeout=3600,
-    )
+    try:
+        qp = _run_child(
+            [sys.executable, str(Path(__file__).resolve()), "--queries-only"],
+            timeout=min(1200.0, BUDGET_SEC / 2),
+        )
+    except subprocess.TimeoutExpired as e:
+        sys.stderr.write((e.stderr or "")[-4000:])
+        raise RuntimeError("analytics phase exceeded its budget slice") from None
     sys.stderr.write(qp.stderr)
-    if qp.returncode != 0:
+    if qp.returncode != 0 or not qp.stdout.strip():
         raise RuntimeError(f"analytics phase failed:\n{qp.stdout}\n{qp.stderr}")
     queries = json.loads(qp.stdout.strip().splitlines()[-1])
+    RESULT["queries"] = queries
+    RESULT["value"] = round(sum(queries.values()), 3)
+    _flush_partial()
     crawl = run_crawl_scaling()
     write_baseline_md(queries, crawl)
-    total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "analytics_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
-                "sf_overrides": {
-                    k: float(v.rstrip("/").split("sf")[-1])
-                    for k, v in QUERY_SF_OVERRIDE.items()
-                },
-                "crawl": crawl,
-            }
-        )
-    )
+    RESULT["wall_sec"] = round(_elapsed(), 1)
+    print(json.dumps(RESULT))
 
 
 if __name__ == "__main__":

