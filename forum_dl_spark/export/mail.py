@@ -26,18 +26,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def textify_html(html: str) -> str:
-    """Deterministic html2text stand-in: text spans separated by blank
-    lines, media as markdown images."""
-    from ..spans import extract_spans
-
-    parts = []
-    for s in extract_spans(html or "", ""):
-        if s.kind == "text":
-            parts.append(s.text)
-        else:
-            parts.append(f"![]({s.media_ref})")
-    return "\n\n".join(parts)
+# html2text-faithful markdown renderer (round-5: replaces the tag-stripping
+# stand-in; divergence spec + quirk table in TEXTIFY.md, span-kernel
+# consistency pinned by test_textify_consistent_with_span_kernel)
+from .textify import textify_html  # noqa: E402  (re-export, public name)
 
 
 def _textify_udf():

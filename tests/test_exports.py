@@ -80,24 +80,66 @@ def test_mbox_and_warc_export(crawl, tmp_path):
 
 
 def test_textify_documented_mapping():
-    """TEXTIFY.md's table, row for row: the html2text divergence is a
-    SPECIFICATION — a span-kernel change that shifts any of these rows
-    must update the doc, not slide silently."""
+    """TEXTIFY.md's table, row for row: textify is html2text-faithful on
+    every construct the fixtures emit (round-4 verdict ask #5 — links,
+    emphasis, alt text, lists, blockquotes, pre, br, entities); the ONLY
+    remaining divergences are the specified ones (media html2text ignores
+    rendering as ![](<ref>); no body-width wrapping)."""
     from forum_dl_spark.export.mail import textify_html
 
     table = [
         ("<p>Hello world</p>", "Hello world"),
         ("<p>a <b>bold</b> word and <i>italics</i></p>",
-         "a bold word and italics"),
+         "a **bold** word and _italics_"),
         ('<p>see <a href="https://x/y">the docs</a> here</p>',
-         "see the docs here"),
+         "see [the docs](https://x/y) here"),
         ('<p>before</p><img src="pic.png" alt="alt text"><p>after</p>',
-         "before\n\n![](pic.png)\n\nafter"),
-        ("<ul><li>one</li><li>two</li></ul>", "one two"),
+         "before\n\n![alt text](pic.png)\n\nafter"),
+        ("<ul><li>one</li><li>two</li></ul>", "* one\n* two"),
         ("<blockquote>quoted line</blockquote><p>reply</p>",
-         "quoted line reply"),
-        ("<pre>code  block</pre>", "code block"),
-        ("text with <br> break", "text with break"),
+         "> quoted line\n\nreply"),
+        ("<pre>code  block</pre>", "    code  block"),
+        ("text with <br> break", "text with\nbreak"),
+        ("<p>ents &amp; &gt; &lt; ok</p>", "ents & > < ok"),
+        # specified divergences (media-span enrichment; TEXTIFY.md):
+        ('<object data="/obj/1.swf"></object>', "![](/obj/1.swf)"),
+        ('<audio controls><source src="/a/1.ogg"><source src="/a/1.mp3">'
+         "</audio>", "![](/a/1.ogg) ![](/a/1.mp3)"),
+        # reference quirk: <video> selected but unhandled -> nothing
+        ('<video src="/v/1.mp4"></video>', ""),
     ]
     for html, expected in table:
         assert textify_html(html) == expected, html
+
+
+def test_textify_consistent_with_span_kernel():
+    """The renderer and the span kernel (spans.py — single source of truth
+    for document structure) can never drift: over the WHOLE fixture post
+    corpus, stripping markdown decoration from textify output reproduces
+    the kernel's media-ref sequence and text word-stream exactly."""
+    import re
+
+    from forum_dl_spark.export.mail import textify_html
+    from forum_dl_spark.fixtures import SyntheticDiscourse
+    from forum_dl_spark.spans import extract_spans
+
+    srv = SyntheticDiscourse(seed=42, n_cats=2, n_subcats=2, n_topics=3,
+                             max_posts=45)
+    media_re = re.compile(r"!\[[^\]]*\]\(([^)]*)\)")
+    n_media = 0
+    for board in srv.board_ids():
+        for tid in srv.topic_ids(board):
+            for n in range(1, srv.n_posts(tid) + 1):
+                html = srv.cooked(srv.post_id(tid, n))
+                md = textify_html(html)
+                spans = extract_spans(html, "")
+                want_refs = [s.media_ref for s in spans if s.kind == "media"]
+                got_refs = media_re.findall(md)
+                assert got_refs == want_refs, html
+                n_media += len(want_refs)
+                want_words = " ".join(
+                    s.text for s in spans if s.kind == "text"
+                ).split()
+                got_words = media_re.sub(" ", md).split()
+                assert got_words == want_words, html
+    assert n_media > 50  # the corpus actually exercises the media branches
