@@ -8,9 +8,11 @@
                 with identical column names/semantics (verified by
                 tests/test_operators_oracle.py which mimics this gate).
 Rows-only entries (no oracle): crawl_discourse_spans / crawl_phpbb_files /
-crawl_corpus_quality / pagerank_crawl (iterative stateful crawls — not
-SQL-expressible; pagerank_crawl's edge table and rank arithmetic are pinned
-exactly against the reference simulation in tests/test_graph_crawl.py) and
+crawl_corpus_quality / pagerank_crawl / recrawl_delta (iterative stateful
+crawls — not SQL-expressible; pagerank_crawl's edge table and rank
+arithmetic are pinned exactly against the reference simulation in
+tests/test_graph_crawl.py, recrawl_delta's one-changed-row payload and
+fetch set in tests/test_recrawl_diff.py) and
 stream_post_counts (streams a crawl's parsed deltas). Everything else — including
 media_features (closed-form md5 featurizer) and the drained streaming
 dedup/sessionize — carries a DuckDB oracle.

@@ -86,8 +86,25 @@ def crawl_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-recrawl smoke: crawl a tiny fixture, edit exactly ONE
+    post, re-open its thread page via ``recrawl_reopen``, and return
+    ``CrawlResult.diff(k1, k2)`` — the Iceberg-style incremental read
+    between the pre- and post-recrawl snapshots. Expected payload: exactly
+    one 'changed' row for the edited post (pinned with full crawl-order
+    equality in tests/test_recrawl_diff.py; the refresh fetches exactly
+    one page because every unchanged child is dropped by the URL-seen
+    gate). Rows-only like the other crawl smokes (two iterative stateful
+    crawls); the crawl pair is session-memoized (operators/_fixture.py)."""
+    from ._fixture import fixture_recrawl_pair
+
+    res2, k1, k2 = fixture_recrawl_pair(spark)
+    return res2.diff(k1, k2).select("change", "type", "url")
+
+
 QUERIES = {
     "crawl_corpus_quality": crawl_corpus_quality,
+    "recrawl_delta": recrawl_delta,
 }
 
 # rows-only: the producing crawl is iterative/stateful (see module
