@@ -190,24 +190,46 @@ _DUCK_H32 = "cast(concat('0x', substring(md5(concat(shingle, ':', cast(j as varc
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs agreeing on all rows of >=1 minhash band."""
+    """LSH candidate pairs: docs agreeing on all rows of >=1 minhash band.
+
+    Signature shape: the K per-doc min-hashes are K ``min(...)`` aggregate
+    COLUMNS of a single ``groupBy(doc_id)``, not K exploded rows — the
+    round-4 shape (``crossJoin`` with a K-row seed relation, then
+    ``groupBy(doc_id, j)`` followed by a SECOND ``groupBy(doc_id, band)``)
+    inflated the shingle relation K× through the first hash-aggregate and
+    paid two shuffles. This shape hashes each shingle K times map-side
+    (unavoidable — the K md5 evaluations ARE the algorithm), partial-combines
+    every column, and shuffles exactly one row per (doc, partition) through
+    ONE exchange. Band signatures are then a narrow projection (explode of a
+    4-element literal array), no further shuffle. At 100 TB the shingle
+    relation is the largest intermediate in the suite, so removing a K× row
+    inflation and a whole exchange on it is the difference that matters."""
     sh = _shingle_df(spark, sf_dir)
-    j = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("j"))
-    mh = (
-        sh.crossJoin(F.broadcast(j))
-        .groupBy("doc_id", "j")
-        .agg(F.expr(f"min({_SPARK_H32})").alias("mh"))
+    hcol = _SPARK_H32.replace("cast(j as string)", "'{j}'")
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min({hcol.format(j=j)})").alias(f"mh_{j}")
+            for j in range(MINHASH_K)
+        ]
     )
     rows_per_band = MINHASH_K // LSH_BANDS
-    bands = (
-        mh.withColumn("band", F.floor(F.col("j") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.expr(
-                "concat_ws(',', transform(array_sort(collect_list(struct(j, mh))),"
-                " s -> cast(s.mh as string)))"
-            ).alias("sig")
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{j}").cast("string")
+                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "bs.band", "bs.sig"
     )
     a = bands.alias("a")
     b = bands.alias("b")

@@ -324,6 +324,38 @@ WHERE h < CASE WHEN bucket = 'short' THEN {SAMPLE_RATES["short"]}
                ELSE {SAMPLE_RATES["long"]} END
 """
 
+BOTTOMK_N = 100
+
+
+def bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic sample: the N docs with the smallest
+    md5('bk:' || doc_id) rank key. The order-statistics complement to the
+    rate-based samplers above — ``stratified_sample``/``mix_sample`` keep a
+    FRACTION (size varies with the corpus), bottom-k keeps exactly N
+    (eval/holdout sets need a fixed size), reproducible across engines,
+    partitionings, and cluster sizes because the key is a content hash,
+    not a RNG stream.
+
+    Scale shape: ``orderBy().limit(N)`` compiles to TakeOrdered — each
+    partition keeps its local top-N heap and only N rows per partition
+    reach the driver-side merge; no global sort, no full shuffle. This is
+    THE way to draw a fixed-size uniform sample from 100 TB in one pass."""
+    d = _docs(spark, sf_dir)
+    rk = F.md5(F.concat(F.lit("bk:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "source", rk.alias("rk"))
+        .orderBy(F.asc("rk"), F.asc("doc_id"))
+        .limit(BOTTOMK_N)
+    )
+
+
+BOTTOMK_SAMPLE_SQL = f"""
+SELECT doc_id, source, md5(concat('bk:', cast(doc_id as varchar))) AS rk
+FROM documents
+ORDER BY rk, doc_id
+LIMIT {BOTTOMK_N}
+"""
+
 
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_clusters via the Kiveris large-star/small-star algorithm —
@@ -790,6 +822,7 @@ QUERIES = {
     "corpus_pipeline_apply": corpus_pipeline_apply,
     "semantic_dedup_apply": semantic_dedup_apply,
     "stratified_sample": stratified_sample,
+    "bottomk_sample": bottomk_sample,
     "mix_sample": mix_sample,
     "kmeans_assign": kmeans_assign,
 }
@@ -801,6 +834,7 @@ ORACLES = {
     "corpus_pipeline_apply": _corpus_pipeline_sql(),
     "semantic_dedup_apply": _semantic_dedup_sql(),
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "bottomk_sample": BOTTOMK_SAMPLE_SQL,
     "mix_sample": MIX_SAMPLE_SQL,
     "kmeans_assign": _km_oracle_sql(),
 }

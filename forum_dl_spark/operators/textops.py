@@ -509,6 +509,67 @@ SELECT token, df, rank FROM (
 ) WHERE rank <= {VOCAB_TOP_K}
 """
 
+BIGRAM_TOP_K = 50
+
+
+def ngram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K word bigrams by corpus frequency — the first table of an
+    n-gram LM / collocation pass (the KenLM-count step of a training-data
+    pipeline). Same whitespace tokenization as ``token_topk``, but counts
+    every occurrence (LM counts), not document frequency.
+
+    Scale shape: bigrams are built per-row inside the projection
+    (``transform`` over an index sequence — no join, no doc_id shuffle),
+    the count is one map-side-combined aggregate keyed on the gram, and
+    the top-K is TakeOrdered. The gram-keyed aggregate is the only
+    exchange; hot grams ("of the") are exactly what the partial combine
+    absorbs."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        F.explode(
+            F.expr(
+                r"""
+                case when size(filter(split(lower(text), '\\s+'), x -> x != '')) < 2
+                     then array()
+                     else transform(
+                       sequence(1, size(filter(split(lower(text), '\\s+'), x -> x != '')) - 1),
+                       i -> concat(
+                         element_at(filter(split(lower(text), '\\s+'), x -> x != ''), i),
+                         ' ',
+                         element_at(filter(split(lower(text), '\\s+'), x -> x != ''), i + 1)))
+                end
+                """
+            )
+        ).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("gram")).limit(BIGRAM_TOP_K)
+    w = Window.orderBy(F.desc("cnt"), F.asc("gram"))
+    return top.withColumn("rank", F.row_number().over(w)).select("gram", "cnt", "rank")
+
+
+NGRAM_LM_TOPK_SQL = rf"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT unnest([concat(w[i], ' ', w[i + 1])
+                 for i in generate_series(1, len(w) - 1)]) AS gram
+  FROM words WHERE len(w) >= 2
+),
+counts AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY gram)
+SELECT gram, cnt, rank FROM (
+  SELECT gram, cnt,
+         row_number() OVER (ORDER BY cnt DESC, gram ASC) AS rank
+  FROM counts
+) WHERE rank <= {BIGRAM_TOP_K}
+"""
+
 
 # --- training-sequence packing ----------------------------------------------------
 #
@@ -823,6 +884,7 @@ QUERIES = {
     "quality_score": quality_score,
     "quality_filter_apply": quality_filter_apply,
     "token_topk": token_topk,
+    "ngram_lm_topk": ngram_lm_topk,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "spans_interleave": spans_interleave,
@@ -842,6 +904,7 @@ ORACLES = {
     "quality_score": QUALITY_SQL,
     "quality_filter_apply": QUALITY_FILTER_SQL,
     "token_topk": TOKEN_TOPK_SQL,
+    "ngram_lm_topk": NGRAM_LM_TOPK_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "spans_interleave": SPANS_INTERLEAVE_SQL,

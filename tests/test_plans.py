@@ -158,3 +158,48 @@ def test_pack_sequences_single_exchange_no_global_sort(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan, plan
+
+
+def test_minhash_signature_single_doc_exchange_no_inflation(spark):
+    """The K min-hashes are K aggregate COLUMNS of one groupBy(doc_id) —
+    NOT K exploded rows. The round-4 shape (crossJoin with a K-row seed
+    relation, groupBy(doc_id, j), then groupBy(doc_id, band)) inflated the
+    shingle relation K× and paid two doc-keyed exchanges per join side;
+    this pins the one-exchange-per-side shape and the absence of any
+    (doc_id, j)/(doc_id, band)-keyed exchange or nested-loop seed join."""
+    from forum_dl_spark.operators.dedup import dedup_minhash_lsh
+
+    df = dedup_minhash_lsh(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # one signature aggregate exchange per self-join side, keyed on doc_id ONLY
+    import re
+
+    assert 1 <= plan.count("hashpartitioning(doc_id#") <= 2, plan
+    assert not re.search(r"hashpartitioning\(doc_id#\d+L?, (j|band)#", plan), plan
+
+
+def test_bottomk_sample_is_take_ordered(spark):
+    """Fixed-size hash-rank sampling compiles to TakeOrderedAndProject —
+    per-partition top-N heaps, no range exchange (global sort) anywhere."""
+    from forum_dl_spark.operators.pipeline import bottomk_sample
+
+    df = bottomk_sample(spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan, plan
+
+
+def test_ngram_lm_topk_single_exchange_take_ordered(spark):
+    """Bigram construction is a narrow projection; the LM count is one
+    map-side-combined gram-keyed exchange; the top-K is TakeOrdered (the
+    final rank window runs over K rows only)."""
+    from forum_dl_spark.operators.textops import ngram_lm_topk
+
+    df = ngram_lm_topk(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "ReadSchema: struct<text:string>" in plan, plan
