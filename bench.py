@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     "corpus_datasheet",
     "pagerank_topk",
     "hits_topk",
+    "bottomk_sample",
+    "ngram_lm_topk",
+    "events_asof_join",
+    "minhash_jaccard_est",
     # NOT benched (like the other crawl smokes): pagerank_crawl's cost is
     # ~90% running the fixture crawl, which the crawl scaling section
     # already measures at 4 orders of magnitude more pages

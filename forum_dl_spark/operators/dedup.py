@@ -204,14 +204,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-element literal array), no further shuffle. At 100 TB the shingle
     relation is the largest intermediate in the suite, so removing a K× row
     inflation and a whole exchange on it is the difference that matters."""
+    bands = _lsh_bands(_minhash_sig(spark, sf_dir))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide MinHash signature: (doc_id, mh_0..mh_{K-1}) via one exchange."""
     sh = _shingle_df(spark, sf_dir)
     hcol = _SPARK_H32.replace("cast(j as string)", "'{j}'")
-    mh = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         *[
             F.expr(f"min({hcol.format(j=j)})").alias(f"mh_{j}")
             for j in range(MINHASH_K)
         ]
     )
+
+
+def _lsh_bands(mh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) — narrow explode of a literal band array."""
     rows_per_band = MINHASH_K // LSH_BANDS
     band_structs = F.array(
         *[
@@ -228,20 +249,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(LSH_BANDS)
         ]
     )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+    return mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", "bs.band", "bs.sig"
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
 
 
@@ -334,6 +343,114 @@ JOIN sets sb ON sb.doc_id = doc_b
 WHERE round(len(list_intersect(sa.ss, sb.ss))
             / (sa.n_sh + sb.n_sh - len(list_intersect(sa.ss, sb.ss))), 6)
       >= {JACCARD_THRESHOLD}
+"""
+)
+
+
+# --- MinHash estimator accuracy ----------------------------------------------
+
+
+def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit: for every LSH candidate pair, the Jaccard
+    ESTIMATE implied by the signatures (fraction of the K min-hashes that
+    agree — the Broder'97 unbiased estimator the banding scheme is built
+    on) next to the EXACT shingle-set Jaccard, both as integer basis
+    points so the comparison is hash-exact across engines. This is the
+    eval that justifies K and the band layout: err_bp's distribution IS
+    the estimator's resolution (multiples of 10000/K), measured on real
+    candidates rather than assumed from theory — the MinHash counterpart
+    of ann_recall_at_k.
+
+    Scale shape: candidates are O(bands)/doc and explicitly broadcast
+    into the signature and shingle-set lookups (the dedup_lsh_verified
+    pattern); agreement is a narrow K-column projection, no per-hash row
+    explosion anywhere."""
+    cands = dedup_minhash_lsh(spark, sf_dir)
+    mh = _minhash_sig(spark, sf_dir)
+    sh = _shingle_df(spark, sf_dir)
+    sets = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"), F.collect_list("shingle").alias("ss")
+    )
+    ma = mh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(MINHASH_K)],
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(MINHASH_K)],
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"),
+        F.col("ss").alias("ssa"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"),
+        F.col("ss").alias("ssb"),
+    )
+    paired = mb.join(F.broadcast(ma.join(F.broadcast(cands), "doc_a")), "doc_b")
+    agree = sum(
+        (F.col(f"a_{j}") == F.col(f"b_{j}")).cast("int") for j in range(MINHASH_K)
+    ).cast("bigint")
+    scored = paired.select("doc_a", "doc_b", agree.alias("agree_k"))
+    half = sa.join(F.broadcast(scored), "doc_a")
+    return (
+        sb.join(F.broadcast(half), "doc_b")
+        .withColumn("est_bp", F.expr(f"(10000L * agree_k) div {MINHASH_K}"))
+        .withColumn(
+            "exact_bp",
+            F.expr(
+                "(10000L * size(array_intersect(ssa, ssb))) div"
+                " (na + nb - size(array_intersect(ssa, ssb)))"
+            ),
+        )
+        .withColumn("err_bp", F.abs(F.col("est_bp") - F.col("exact_bp")))
+        .select("doc_a", "doc_b", "agree_k", "est_bp", "exact_bp", "err_bp")
+    )
+
+
+MINHASH_JACCARD_EST_SQL = (
+    _DUCK_SHINGLE_CTE
+    + f""",
+mh AS (
+  SELECT doc_id, j, min({_DUCK_H32}) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS j)
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, CAST(j // {MINHASH_K // LSH_BANDS} AS int) AS band,
+         string_agg(CAST(mh AS varchar), ',' ORDER BY j) AS sig
+  FROM mh GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT)
+             AS agree_k
+  FROM cands c
+  JOIN mh ma ON ma.doc_id = c.doc_a
+  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+  GROUP BY 1, 2
+),
+sets AS (
+  SELECT doc_id, count(*) AS n_sh, list(shingle) AS ss FROM sh GROUP BY doc_id
+),
+scored AS (
+  SELECT g.doc_a, g.doc_b, g.agree_k,
+         (10000 * g.agree_k) // {MINHASH_K} AS est_bp,
+         (10000 * len(list_intersect(sa.ss, sb.ss)))
+             // (sa.n_sh + sb.n_sh - len(list_intersect(sa.ss, sb.ss)))
+             AS exact_bp
+  FROM agree g
+  JOIN sets sa ON sa.doc_id = g.doc_a
+  JOIN sets sb ON sb.doc_id = g.doc_b
+)
+SELECT doc_a, doc_b, agree_k, est_bp, exact_bp,
+       abs(est_bp - exact_bp) AS err_bp
+FROM scored
 """
 )
 
@@ -600,6 +717,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_verified": dedup_lsh_verified,
+    "minhash_jaccard_est": minhash_jaccard_est,
     "dedup_simhash": dedup_simhash,
     "segment_dedup_apply": segment_dedup_apply,
     "dedup_cross_corpus": dedup_cross_corpus,
@@ -610,6 +728,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,
+    "minhash_jaccard_est": MINHASH_JACCARD_EST_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "segment_dedup_apply": SEGMENT_DEDUP_SQL,
     "dedup_cross_corpus": DEDUP_CROSS_SQL,

@@ -237,6 +237,67 @@ GROUP BY user_id
 """
 
 
+# --- events: as-of join (point-in-time attribution) -------------------------
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'click' event attributed to the most recent
+    preceding (or simultaneous) 'view' event of the same user — the
+    point-in-time-correct join of event attribution / feature-store reads.
+
+    Spark has no ASOF JOIN operator; the naive encodings are a range join
+    (O(n·m) BroadcastNestedLoopJoin blowup) or a per-key ``applyInPandas``
+    loop (Python in the hot path). The scalable DataFrame shape used here
+    is union + window: tag both sides, union them into ONE relation,
+    sort each user's timeline once, and carry the last non-null view id
+    forward with ``last(..., ignorenulls=True)`` over an unbounded-
+    preceding frame. One exchange on user_id, one per-partition sort, no
+    join operator at all (plan-pinned by tests/test_plans.py) — at 100 TB
+    this shuffles each side exactly once, identical cost to the
+    sessionize window, regardless of how many views precede each click.
+
+    Tie rule: a view at exactly the click's timestamp matches (side
+    orders views before clicks within a timestamp). ``gap_us`` is an
+    integer microsecond difference, so engine timezone rendering cannot
+    diverge. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    timeline = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "click").cast("int").alias("side"),
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("v_id"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("v_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        timeline.withColumn("view_id", F.last("v_id", ignorenulls=True).over(w))
+        .withColumn("view_ts", F.last("v_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            "view_id",
+            F.expr("timestampdiff(MICROSECOND, view_ts, ts)").alias("gap_us"),
+        )
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT c.event_id AS click_id, c.user_id AS user_id, v.event_id AS view_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -244,6 +305,7 @@ QUERIES = {
     "top_customers_per_nation": top_customers_per_nation,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "events_asof_join": events_asof_join,
 }
 
 ORACLES = {
@@ -253,4 +315,5 @@ ORACLES = {
     "top_customers_per_nation": TOP_CUSTOMERS_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_asof_join": EVENTS_ASOF_SQL,
 }

@@ -203,3 +203,34 @@ def test_ngram_lm_topk_single_exchange_take_ordered(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "ReadSchema: struct<text:string>" in plan, plan
+
+
+def test_events_asof_join_is_one_window_no_join(spark):
+    """The as-of join compiles to union + ONE user_id exchange + window —
+    no join operator of any kind (the naive encodings are a range-join
+    BroadcastNestedLoopJoin or a per-key Python loop; this pins their
+    absence), and the scan is pruned to the four needed columns."""
+    from forum_dl_spark.operators.relational import events_asof_join
+
+    df = events_asof_join(spark, SF)
+    plan = _plan(df)
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert (
+        "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,"
+        "event_type:string>" in plan
+    ), plan
+
+
+def test_minhash_jaccard_est_candidate_bounded(spark):
+    """The estimator audit never goes all-pairs: candidate pairs are
+    broadcast into the signature and shingle-set lookups (three
+    BroadcastHashJoins), and no cartesian/nested-loop join appears."""
+    from forum_dl_spark.operators.dedup import minhash_jaccard_est
+
+    df = minhash_jaccard_est(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
