@@ -132,6 +132,11 @@ BENCH_QUERIES = [
 # the headline scale-path dedup number, worth a full-sf measurement.
 SMALL_SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
 QUERY_SF_OVERRIDE = {
+    # winnow_dup_spans: the round-4 verdict's explicit call ("candidate for
+    # small-sf override in the gate run, not a rewrite") — the full-sf cost
+    # is honest md5+pair volume already measured through winnow_fingerprints
+    # (same persisted relation), so full-sf-ing BOTH times the scan twice.
+    "winnow_dup_spans": SMALL_SF_DIR,
     "dedup_ngram_jaccard": SMALL_SF_DIR,
     "dedup_apply": SMALL_SF_DIR,
     "dedup_clusters": SMALL_SF_DIR,
