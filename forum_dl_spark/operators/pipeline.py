@@ -204,8 +204,25 @@ def _cc_jump(sym: DataFrame, labels: DataFrame) -> tuple[DataFrame, int]:
         changed = new.filter("_changed").count()
         if changed == 0:
             return labels, rounds
-        # B: collapse the new parent forest to roots (label-only joins)
-        labels = _pointer_jump(new.drop("_changed"))
+        # B: ONE pointer jump (label(d) := label(label(d))) on the new
+        # parent forest. A single jump per outer round — not an inner
+        # fixpoint loop — is sufficient AND cheaper: the convergence test
+        # lives entirely in step A (an A-fixpoint forces component-constant
+        # labels, and since labels only decrease within the component's id
+        # set, the constant is the component minimum), so B only needs to
+        # accelerate, never to finish. The former jump-to-fixpoint spent a
+        # guaranteed no-change round (join+checkpoint+count) per call and
+        # materialized every intermediate forest; one un-checkpointed join
+        # on top of the A-step's checkpointed frame keeps lineage depth at
+        # one join while cutting the per-outer-round job count ~2-3x
+        # (dedup_clusters at the bench gate sf: 15.1 s -> measured below).
+        jumped = new.drop("_changed")
+        parent = jumped.select(
+            F.col("doc_id").alias("p_doc"), F.col("cluster_id").alias("p_lbl")
+        )
+        labels = jumped.join(
+            parent, jumped.cluster_id == parent.p_doc
+        ).select("doc_id", F.col("p_lbl").alias("cluster_id"))
     raise RuntimeError(f"label propagation did not converge in {MAX_CC_ITERS} rounds")
 
 
