@@ -696,6 +696,148 @@ SELECT doc_id, lang, rate_bp FROM r WHERE h < rate_bp
 """
 
 
+# --- DSIR: hashed-n-gram importance weights for data selection ---------------
+#
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023): score
+# every raw document by how much more likely it is under a bag-of-hashed-
+# n-gram model of a TARGET corpus than under the raw corpus's own model —
+# w(doc) = Σ_occurrences [log p_target(f) − log p_raw(f)] — then resample by
+# weight. The target here is the C4-style quality-passing subset
+# (textops.qf_keep_cond — the shared predicate), i.e. "select raw data that
+# looks like the data the quality gate keeps", DSIR's published use case.
+#
+# Integer-exact contract: features are md5-hash buckets (DSIR_B = 4096 —
+# hashing is the paper's trick that makes the model a FIXED-SIZE table
+# regardless of corpus size), counts get +1 smoothing, and the log is the
+# same floor-log2 bit-length used by perplexity_buckets
+# (length(binary(x))), so the weight
+#   w(doc) = Σ_f [bitlen(t_f+1) − bitlen(r_f+1)] + n_tok·[bitlen(R+1) − bitlen(T+1)]
+# (T, R = total target/raw occurrences — the normalizer term that stops the
+# weight from scaling with document length) is a pure integer, bit-identical
+# across engines and partitionings.
+#
+# Scale shape: the feature-model aggregate is ONE bounded exchange (at most
+# DSIR_B = 4096 groups after the map-side combine, whatever the corpus
+# size); the model joins back BROADCAST (it *is* a 4096-row table — that is
+# why DSIR hashes); the per-doc sum is one doc_id-keyed map-side-combined
+# aggregate; the final top-K is TakeOrdered. The token relation is built
+# twice (model pass + scoring pass) — two scans of the text, no persisted
+# intermediate, exactly how the reference DSIR implementation streams the
+# corpus twice.
+
+DSIR_B = 4096      # hashed feature buckets (the model's fixed size)
+DSIR_TOPK = 50
+
+
+def _bitlen(expr: str) -> str:
+    """Spark SQL bit-length of a non-negative integer expression —
+    floor(log2(x)) + 1 via the binary-string length (no libm, no FP)."""
+    return f"length(conv(cast(({expr}) as string), 10, 2))"
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``DSIR_TOPK`` documents by integer-exact DSIR importance
+    weight (hashed unigram features, quality-gate target), ties broken on
+    doc_id."""
+    from pyspark.sql import Window
+
+    from .textops import qf_keep_cond
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        qf_keep_cond().cast("long").alias("tgt"),
+        F.explode(
+            F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+        ).alias("token"),
+    ).select(
+        "doc_id",
+        "tgt",
+        F.expr(
+            f"cast(conv(substring(md5(concat('dsir:', token)), 1, 8),"
+            f" 16, 10) as bigint) % {DSIR_B}"
+        ).alias("f"),
+    )
+    feats = tok.groupBy("f").agg(
+        F.count("*").alias("r"), F.sum("tgt").alias("t")
+    )
+    tot = feats.agg(F.sum("r").alias("rr"), F.sum("t").alias("tt"))
+    scored = feats.select(
+        "f",
+        F.expr(
+            f"cast({_bitlen('t + 1')} - {_bitlen('r + 1')} as bigint)"
+        ).alias("s"),
+    )
+    perdoc = (
+        tok.join(F.broadcast(scored), "f")
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("w_rel"), F.count("*").alias("n_tok"))
+    )
+    out = perdoc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tok",
+        (
+            F.col("w_rel")
+            + F.col("n_tok")
+            * F.expr(f"cast({_bitlen('rr + 1')} - {_bitlen('tt + 1')} as bigint)")
+        ).alias("weight"),
+    )
+    top = out.orderBy(F.desc("weight"), F.asc("doc_id")).limit(DSIR_TOPK)
+    w = Window.orderBy(F.desc("weight"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_tok", "weight", "rank"
+    )
+
+
+def _dsir_sql() -> str:
+    from .textops import QF_PRED_DUCK
+
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, tgt,
+         cast(concat('0x', substring(md5(concat('dsir:', token)), 1, 8))
+              as bigint) % {DSIR_B} AS f
+  FROM (
+    SELECT doc_id,
+           CASE WHEN {QF_PRED_DUCK} THEN 1 ELSE 0 END AS tgt,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x != '')) AS token
+    FROM documents
+  )
+),
+feats AS (
+  SELECT f, CAST(count(*) AS BIGINT) AS r, CAST(sum(tgt) AS BIGINT) AS t
+  FROM tok GROUP BY f
+),
+tot AS (
+  SELECT CAST(sum(r) AS BIGINT) AS rr, CAST(sum(t) AS BIGINT) AS tt FROM feats
+),
+scored AS (
+  SELECT f,
+         CAST(length(printf('%b', t + 1)) - length(printf('%b', r + 1))
+              AS BIGINT) AS s
+  FROM feats
+),
+perdoc AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS w_rel,
+         CAST(count(*) AS BIGINT) AS n_tok
+  FROM tok JOIN scored USING (f) GROUP BY doc_id
+),
+o AS (
+  SELECT doc_id, n_tok,
+         w_rel + n_tok * CAST(length(printf('%b', rr + 1))
+                              - length(printf('%b', tt + 1)) AS BIGINT)
+         AS weight
+  FROM perdoc, tot
+)
+SELECT doc_id, n_tok, weight, rank FROM (
+  SELECT doc_id, n_tok, weight,
+         row_number() OVER (ORDER BY weight DESC, doc_id ASC) AS rank
+  FROM o
+) WHERE rank <= {DSIR_TOPK}
+"""
+
+
 # --- integer-exact Lloyd's k-means over embeddings ----------------------------
 #
 # The learned-clustering counterpart to the fixed-pivot IVF index: KM_ITERS
@@ -841,6 +983,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "bottomk_sample": bottomk_sample,
     "mix_sample": mix_sample,
+    "dsir_weights": dsir_weights,
     "kmeans_assign": kmeans_assign,
 }
 
@@ -853,5 +996,6 @@ ORACLES = {
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "bottomk_sample": BOTTOMK_SAMPLE_SQL,
     "mix_sample": MIX_SAMPLE_SQL,
+    "dsir_weights": _dsir_sql(),
     "kmeans_assign": _km_oracle_sql(),
 }

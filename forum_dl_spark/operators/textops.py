@@ -572,6 +572,79 @@ SELECT gram, cnt, rank FROM (
 """
 
 
+# --- BPE merge-round 1: adjacent character-pair counts ------------------------
+#
+# The first round of byte-pair-encoding tokenizer training (Sennrich et al.
+# 2016 §3.2): count adjacent symbol pairs WITHIN each whitespace word across
+# the corpus; the most frequent pair becomes the first merge rule. At round 1
+# every symbol is a single character, so the pair table is exactly the
+# adjacent character-bigram counts per word occurrence — counting every word
+# occurrence directly is equivalent to the paper's frequency-weighted word
+# dictionary. (Later rounds need the merge applied back to the corpus — an
+# iterative job like k-means/CC — but round 1 is the canonical "is the count
+# infrastructure right" step and the one with a clean relational oracle.)
+
+BPE_PAIR_TOPK = 50
+
+
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``BPE_PAIR_TOPK`` adjacent character pairs within words — the
+    candidate table for BPE's first merge rule, ties broken
+    lexicographically.
+
+    Scale shape: same as ``ngram_lm_topk`` — words and their character
+    pairs are built per-row inside the projection (two nested explodes,
+    no join, no doc_id shuffle), the count is one map-side-combined
+    aggregate keyed on the 2-char pair (a few-thousand-key domain, so the
+    partial combine collapses virtually all traffic), and the top-K is
+    TakeOrdered; the rank window runs over K rows only."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    pairs = (
+        d.select(
+            F.explode(
+                F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(BPE_PAIR_TOPK)
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "pair", "cnt", "rank"
+    )
+
+
+BPE_FIRST_MERGES_SQL = rf"""
+WITH words AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x != '')) AS w
+  FROM documents
+),
+pairs AS (
+  SELECT unnest([substring(w, i, 2) for i in generate_series(1, length(w) - 1)])
+         AS pair
+  FROM words WHERE length(w) >= 2
+),
+counts AS (SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair)
+SELECT pair, cnt, rank FROM (
+  SELECT pair, cnt,
+         row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank
+  FROM counts
+) WHERE rank <= {BPE_PAIR_TOPK}
+"""
+
+
 # --- training-sequence packing ----------------------------------------------------
 #
 # GPT-style sequence packing: the corpus is (logically) concatenated in a
@@ -886,6 +959,7 @@ QUERIES = {
     "quality_filter_apply": quality_filter_apply,
     "token_topk": token_topk,
     "ngram_lm_topk": ngram_lm_topk,
+    "bpe_first_merges": bpe_first_merges,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "spans_interleave": spans_interleave,
@@ -906,6 +980,7 @@ ORACLES = {
     "quality_filter_apply": QUALITY_FILTER_SQL,
     "token_topk": TOKEN_TOPK_SQL,
     "ngram_lm_topk": NGRAM_LM_TOPK_SQL,
+    "bpe_first_merges": BPE_FIRST_MERGES_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "spans_interleave": SPANS_INTERLEAVE_SQL,
