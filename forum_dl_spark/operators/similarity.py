@@ -816,6 +816,298 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.99
 """
 
 
+# --- product quantization (PQ): encode + ADC search --------------------------
+#
+# The third classic ANN scale path next to LSH and IVF, and the memory story
+# at 100 TB: PQ (Jégou et al., TPAMI 2011) splits each vector into PQ_M
+# subvectors, quantizes each against a per-subspace codebook of K codewords,
+# and stores only the M code ids — here 4 small ints instead of 64 floats
+# (a 64× compression); search is Asymmetric Distance Computation (ADC): the
+# query precomputes an M×K table of subspace distances ONCE, then every
+# database vector is scored with M table lookups + adds, never touching the
+# original floats.
+#
+# Integer-exact contract (same recipe as kmeans_assign): vectors are
+# floor-quantized (qx = floor(x * PQ_SCALE)) so every distance is an integer
+# sum — accumulation-order free, hash-identical across engines. The
+# deterministic stand-in for a TRAINED codebook is the quantized subvectors
+# of one sampled member per planted cluster (member PQ_PIVOT_M — a data
+# point, exactly how a converged k-means codebook is data-derived), giving
+# K = CL_CENTROIDS codewords per subspace; code ids are the cluster ids.
+# Ties (two codewords at equal distance) break to the smaller code id in
+# both engines.
+#
+# Scale shape: the codebook is collected to the driver (K×dim scalars — the
+# legitimate driver-side control state, PQ's whole premise is that the
+# codebook is tiny) and inlined as literal arrays, so ENCODING is a narrow
+# whole-stage-codegen projection over the vector scan — nothing shuffles.
+# The query side carries its precomputed M×K distance table as one nested
+# array column and is BROADCAST; ADC scoring is a per-row lookup-sum; the
+# only wide op is the per-query top-k window over (query, doc, score) pairs.
+
+PQ_M = 4          # subspaces
+PQ_SCALE = 10000  # floor-quantization scale (integer-exact distances)
+PQ_PIVOT_M = 23   # cluster member sampled as each cluster's codeword
+
+
+def _pq_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered fixture, floor-quantized to integer vectors."""
+    return _clustered_emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            f"transform(v, x -> cast(floor(x * {PQ_SCALE}) as bigint))"
+        ).alias("q"),
+    )
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str):
+    """([m][code] -> subvector ints, sub_dim): driver-side codebook —
+    K×dim scalars, the one collect PQ is allowed (the codebook IS small)."""
+    rows = (
+        _pq_quant(spark, sf_dir)
+        .filter(F.col("vec_id") % CL_ID_STRIDE == PQ_PIVOT_M)
+        .collect()
+    )
+    byc = sorted((int(r["vec_id"]) // CL_ID_STRIDE, list(r["q"])) for r in rows)
+    dim = len(byc[0][1])
+    sub = dim // PQ_M
+    cb = [
+        [vec[m * sub : (m + 1) * sub] for _, vec in byc] for m in range(PQ_M)
+    ]
+    return cb, sub
+
+
+def _pq_dist_arr(m: int, cb_m: list, sub: int) -> str:
+    """SQL expr: array of integer L2² distances from subvector m of column
+    ``q`` to each codeword (code id = array position - 1)."""
+    ds = []
+    for vec in cb_m:
+        arr = "array(" + ",".join(f"{int(x)}L" for x in vec) + ")"
+        ds.append(
+            f"aggregate(zip_with(slice(q, {m * sub + 1}, {sub}), {arr},"
+            " (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (s, x) -> s + x)"
+        )
+    return "array(" + ",".join(ds) + ")"
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the clustered fixture: per vector, the M code ids
+    (joined '-') and the total integer quantization distortion."""
+    cb, sub = _pq_codebook(spark, sf_dir)
+    code_parts, min_parts = [], []
+    for m in range(PQ_M):
+        ds = _pq_dist_arr(m, cb[m], sub)
+        code_parts.append(
+            f"cast(array_position({ds}, array_min({ds})) - 1 as string)"
+        )
+        min_parts.append(f"array_min({ds})")
+    return _pq_quant(spark, sf_dir).select(
+        "vec_id",
+        F.expr("concat_ws('-', " + ",".join(code_parts) + ")").alias("codes"),
+        F.expr(
+            "cast(" + " + ".join(min_parts) + " as bigint)"
+        ).alias("distortion"),
+    )
+
+
+def _pq_encoded(spark: SparkSession, sf_dir: str, cb, sub: int) -> DataFrame:
+    """(vec_id, codes array<int>): the compressed database relation."""
+    code_parts = []
+    for m in range(PQ_M):
+        ds = _pq_dist_arr(m, cb[m], sub)
+        code_parts.append(
+            f"cast(array_position({ds}, array_min({ds})) - 1 as int)"
+        )
+    return _pq_quant(spark, sf_dir).select(
+        "vec_id",
+        F.expr("array(" + ",".join(code_parts) + ")").alias("codes"),
+    )
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k: each query precomputes its M×K subspace distance table,
+    every database vector is scored by M lookups into it — the compressed
+    relation (4 ints/vector) is all the search touches."""
+    from pyspark.sql import Window
+
+    cb, sub = _pq_codebook(spark, sf_dir)
+    docs = _pq_encoded(spark, sf_dir, cb, sub).select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+    dt = "array(" + ",".join(
+        _pq_dist_arr(m, cb[m], sub) for m in range(PQ_M)
+    ) + ")"
+    qs = (
+        _pq_quant(spark, sf_dir)
+        .filter(F.col("vec_id") % CL_ID_STRIDE == 0)
+        .select(F.col("vec_id").alias("query_id"), F.expr(dt).alias("dt"))
+    )
+    pairs = docs.crossJoin(F.broadcast(qs)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = (
+        f"aggregate(sequence(1, {PQ_M}), cast(0 as bigint),"
+        " (s, m) -> s + element_at(element_at(dt, m),"
+        " element_at(codes, m) + 1))"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("adc_dist", F.expr(adc))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of ADC-over-codes vs exact integer L2² brute force on the
+    same quantized vectors — what the 64× compression costs in accuracy."""
+    from pyspark.sql import Window
+
+    e = _pq_quant(spark, sf_dir)
+    a = e.filter(F.col("vec_id") % CL_ID_STRIDE == 0).alias("a")
+    b = e.alias("b")
+    dist = (
+        "aggregate(zip_with(a.q, b.q, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (s, x) -> s + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.expr(dist).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    ann = pq_topk(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hit = exact.join(
+        ann,
+        (exact.query_id == F.col("aq")) & (exact.neighbor_id == F.col("an")),
+        "left",
+    ).select(
+        "query_id", F.col("an").isNotNull().cast("int").alias("hit")
+    )
+    return hit.groupBy("query_id").agg(
+        F.round(F.sum("hit") / F.count("*"), 6).alias("recall")
+    )
+
+
+# DuckDB oracle in long format (vec_id, d, qx) like the k-means oracle; the
+# subspace width is hard-coded to 16 = dim 64 / PQ_M (the testdata embedding
+# schema at every sf) — the Spark side derives it from the data, so a schema
+# drift would surface as an oracle mismatch, not silent wrongness.
+_PQ_SUB_SQL = 16
+
+_DUCK_PQ_CTES = f"""
+cql AS (
+  SELECT vec_id,
+         unnest([{{'d': i,
+                  'qx': CAST(floor(v[i] * {PQ_SCALE}) AS BIGINT)}}
+                 for i in generate_series(1, len(v))],
+                recursive := true)
+  FROM cemb
+),
+pqsub AS (
+  SELECT vec_id, CAST((d - 1) // {_PQ_SUB_SQL} AS int) AS m,
+         (d - 1) % {_PQ_SUB_SQL} AS sd, qx
+  FROM cql
+),
+pqcw AS (
+  SELECT CAST(vec_id // {CL_ID_STRIDE} AS int) AS code, m, sd, qx AS cx
+  FROM pqsub WHERE vec_id % {CL_ID_STRIDE} = {PQ_PIVOT_M}
+),
+pqd AS (
+  SELECT s.vec_id, s.m, w.code,
+         CAST(sum((s.qx - w.cx) * (s.qx - w.cx)) AS BIGINT) AS dd
+  FROM pqsub s JOIN pqcw w ON s.m = w.m AND s.sd = w.sd
+  GROUP BY 1, 2, 3
+),
+pqcode AS (
+  SELECT vec_id, m, code, dd FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dd, code) AS rn
+    FROM pqd
+  ) WHERE rn = 1
+)
+"""
+
+PQ_CODES_SQL = (
+    _DUCK_CLUSTERED_CTE
+    + ",\n"
+    + _DUCK_PQ_CTES.strip()
+    + """
+SELECT vec_id,
+       string_agg(CAST(code AS varchar), '-' ORDER BY m) AS codes,
+       CAST(sum(dd) AS BIGINT) AS distortion
+FROM pqcode GROUP BY vec_id
+"""
+)
+
+_DUCK_PQ_TOPK_CTE = f"""
+pqadc AS (
+  SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(qd.dd) AS BIGINT) AS adc_dist
+  FROM pqcode c JOIN pqd qd ON qd.m = c.m AND qd.code = c.code
+  WHERE qd.vec_id % {CL_ID_STRIDE} = 0 AND c.vec_id != qd.vec_id
+  GROUP BY 1, 2
+),
+pqtopk AS (
+  SELECT query_id, neighbor_id, rank, adc_dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, neighbor_id) AS rank
+    FROM pqadc
+  ) WHERE rank <= {TOP_K}
+)
+"""
+
+PQ_TOPK_SQL = (
+    _DUCK_CLUSTERED_CTE
+    + ",\n"
+    + _DUCK_PQ_CTES.strip()
+    + ",\n"
+    + _DUCK_PQ_TOPK_CTE.strip()
+    + "\nSELECT query_id, neighbor_id, rank, adc_dist FROM pqtopk"
+)
+
+PQ_RECALL_SQL = (
+    _DUCK_CLUSTERED_CTE
+    + ",\n"
+    + _DUCK_PQ_CTES.strip()
+    + ",\n"
+    + _DUCK_PQ_TOPK_CTE.strip()
+    + f""",
+pqexact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY sum((a.qx - b.qx) * (a.qx - b.qx)),
+                                       b.vec_id) AS rank
+    FROM cql a JOIN cql b ON a.d = b.d
+    WHERE a.vec_id % {CL_ID_STRIDE} = 0 AND b.vec_id != a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+  ) WHERE rank <= {TOP_K}
+)
+SELECT pqexact.query_id,
+       round(CAST(sum(CASE WHEN pqtopk.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+       AS recall
+FROM pqexact LEFT JOIN pqtopk
+  ON pqexact.query_id = pqtopk.query_id
+ AND pqexact.neighbor_id = pqtopk.neighbor_id
+GROUP BY pqexact.query_id
+"""
+)
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -827,6 +1119,9 @@ QUERIES = {
     "ann_recall_clustered": ann_recall_clustered,
     "ivf_topk": ivf_topk,
     "ivf_recall": ivf_recall,
+    "pq_codes": pq_codes,
+    "pq_topk": pq_topk,
+    "pq_recall": pq_recall,
     "embedding_neardup_cosine": embedding_neardup_cosine,
 }
 
@@ -841,5 +1136,8 @@ ORACLES = {
     "ann_recall_clustered": ANN_RECALL_CLUSTERED_SQL,
     "ivf_topk": IVF_TOPK_SQL,
     "ivf_recall": IVF_RECALL_SQL,
+    "pq_codes": PQ_CODES_SQL,
+    "pq_topk": PQ_TOPK_SQL,
+    "pq_recall": PQ_RECALL_SQL,
     "embedding_neardup_cosine": EMBEDDING_NEARDUP_SQL,
 }
