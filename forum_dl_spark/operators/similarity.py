@@ -831,11 +831,16 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.99
 # floor-quantized (qx = floor(x * PQ_SCALE)) so every distance is an integer
 # sum — accumulation-order free, hash-identical across engines. The
 # deterministic stand-in for a TRAINED codebook is the quantized subvectors
-# of one sampled member per planted cluster (member PQ_PIVOT_M — a data
-# point, exactly how a converged k-means codebook is data-derived), giving
-# K = CL_CENTROIDS codewords per subspace; code ids are the cluster ids.
-# Ties (two codewords at equal distance) break to the smaller code id in
-# both engines.
+# of PQ_PIVOT_MS sampled members per planted cluster (data points, exactly
+# how a converged k-means codebook is data-derived), giving K =
+# CL_CENTROIDS × len(PQ_PIVOT_MS) codewords per subspace — the multiple
+# members per cluster matter: one codeword per cluster would collapse every
+# same-cluster vector onto identical codes and ADC could not rank WITHIN a
+# cluster (recall ~0 on this fixture); eight give the code within-cluster
+# resolution (recall ~0.66 at k=5) while still being a real quantizer that
+# can miss. Code id = cluster*len(PQ_PIVOT_MS) + member slot (dense,
+# engine-identical). Ties (two codewords at equal distance) break to the
+# smaller code id in both engines.
 #
 # Scale shape: the codebook is collected to the driver (K×dim scalars — the
 # legitimate driver-side control state, PQ's whole premise is that the
@@ -845,9 +850,10 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.99
 # array column and is BROADCAST; ADC scoring is a per-row lookup-sum; the
 # only wide op is the per-query top-k window over (query, doc, score) pairs.
 
-PQ_M = 4          # subspaces
+PQ_M = 8          # subspaces (8 codes/vector vs 64 floats — 32× compression)
 PQ_SCALE = 10000  # floor-quantization scale (integer-exact distances)
-PQ_PIVOT_M = 23   # cluster member sampled as each cluster's codeword
+# evenly-spaced cluster members sampled as codewords (K = 10 clusters × 8)
+PQ_PIVOT_MS = (1, 5, 9, 13, 17, 21, 25, 29)
 
 
 def _pq_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -865,10 +871,12 @@ def _pq_codebook(spark: SparkSession, sf_dir: str):
     K×dim scalars, the one collect PQ is allowed (the codebook IS small)."""
     rows = (
         _pq_quant(spark, sf_dir)
-        .filter(F.col("vec_id") % CL_ID_STRIDE == PQ_PIVOT_M)
+        .filter((F.col("vec_id") % CL_ID_STRIDE).isin(*PQ_PIVOT_MS))
         .collect()
     )
-    byc = sorted((int(r["vec_id"]) // CL_ID_STRIDE, list(r["q"])) for r in rows)
+    # sorted by vec_id = (cluster, member) lexicographic, so position-1 in
+    # the distance arrays equals code id = cluster*len(PQ_PIVOT_MS) + slot
+    byc = sorted((int(r["vec_id"]), list(r["q"])) for r in rows)
     dim = len(byc[0][1])
     sub = dim // PQ_M
     cb = [
@@ -890,18 +898,31 @@ def _pq_dist_arr(m: int, cb_m: list, sub: int) -> str:
     return "array(" + ",".join(ds) + ")"
 
 
+def _pq_with_ds(spark: SparkSession, sf_dir: str, cb, sub: int) -> DataFrame:
+    """(vec_id, ds0..ds{M-1}): per-subspace codeword-distance arrays, each
+    computed ONCE as its own column — the derived code/min/table columns are
+    cheap array ops over these, and CollapseProject keeps the expensive
+    higher-order aggregates single-evaluation instead of inlining them 3×
+    into every consumer (which triples the expression tree and codegen)."""
+    return _pq_quant(spark, sf_dir).select(
+        "vec_id",
+        *[
+            F.expr(_pq_dist_arr(m, cb[m], sub)).alias(f"ds{m}")
+            for m in range(PQ_M)
+        ],
+    )
+
+
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encoding of the clustered fixture: per vector, the M code ids
     (joined '-') and the total integer quantization distortion."""
     cb, sub = _pq_codebook(spark, sf_dir)
-    code_parts, min_parts = [], []
-    for m in range(PQ_M):
-        ds = _pq_dist_arr(m, cb[m], sub)
-        code_parts.append(
-            f"cast(array_position({ds}, array_min({ds})) - 1 as string)"
-        )
-        min_parts.append(f"array_min({ds})")
-    return _pq_quant(spark, sf_dir).select(
+    code_parts = [
+        f"cast(array_position(ds{m}, array_min(ds{m})) - 1 as string)"
+        for m in range(PQ_M)
+    ]
+    min_parts = [f"array_min(ds{m})" for m in range(PQ_M)]
+    return _pq_with_ds(spark, sf_dir, cb, sub).select(
         "vec_id",
         F.expr("concat_ws('-', " + ",".join(code_parts) + ")").alias("codes"),
         F.expr(
@@ -912,13 +933,11 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_encoded(spark: SparkSession, sf_dir: str, cb, sub: int) -> DataFrame:
     """(vec_id, codes array<int>): the compressed database relation."""
-    code_parts = []
-    for m in range(PQ_M):
-        ds = _pq_dist_arr(m, cb[m], sub)
-        code_parts.append(
-            f"cast(array_position({ds}, array_min({ds})) - 1 as int)"
-        )
-    return _pq_quant(spark, sf_dir).select(
+    code_parts = [
+        f"cast(array_position(ds{m}, array_min(ds{m})) - 1 as int)"
+        for m in range(PQ_M)
+    ]
+    return _pq_with_ds(spark, sf_dir, cb, sub).select(
         "vec_id",
         F.expr("array(" + ",".join(code_parts) + ")").alias("codes"),
     )
@@ -934,11 +953,9 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _pq_encoded(spark, sf_dir, cb, sub).select(
         F.col("vec_id").alias("neighbor_id"), "codes"
     )
-    dt = "array(" + ",".join(
-        _pq_dist_arr(m, cb[m], sub) for m in range(PQ_M)
-    ) + ")"
+    dt = "array(" + ",".join(f"ds{m}" for m in range(PQ_M)) + ")"
     qs = (
-        _pq_quant(spark, sf_dir)
+        _pq_with_ds(spark, sf_dir, cb, sub)
         .filter(F.col("vec_id") % CL_ID_STRIDE == 0)
         .select(F.col("vec_id").alias("query_id"), F.expr(dt).alias("dt"))
     )
@@ -1002,10 +1019,10 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB oracle in long format (vec_id, d, qx) like the k-means oracle; the
-# subspace width is hard-coded to 16 = dim 64 / PQ_M (the testdata embedding
+# subspace width is hard-coded to 8 = dim 64 / PQ_M (the testdata embedding
 # schema at every sf) — the Spark side derives it from the data, so a schema
 # drift would surface as an oracle mismatch, not silent wrongness.
-_PQ_SUB_SQL = 16
+_PQ_SUB_SQL = 8
 
 _DUCK_PQ_CTES = f"""
 cql AS (
@@ -1022,8 +1039,11 @@ pqsub AS (
   FROM cql
 ),
 pqcw AS (
-  SELECT CAST(vec_id // {CL_ID_STRIDE} AS int) AS code, m, sd, qx AS cx
-  FROM pqsub WHERE vec_id % {CL_ID_STRIDE} = {PQ_PIVOT_M}
+  SELECT CAST(vec_id // {CL_ID_STRIDE} * {len(PQ_PIVOT_MS)}
+              + (vec_id % {CL_ID_STRIDE} - {PQ_PIVOT_MS[0]})
+                // {PQ_PIVOT_MS[1] - PQ_PIVOT_MS[0]} AS int) AS code,
+         m, sd, qx AS cx
+  FROM pqsub WHERE vec_id % {CL_ID_STRIDE} IN {PQ_PIVOT_MS}
 ),
 pqd AS (
   SELECT s.vec_id, s.m, w.code,

@@ -117,3 +117,66 @@ def test_ivf_assignment_unique_and_pivots_broadcast(spark):
 
     plan = ivf_topk(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- product quantization ------------------------------------------------------
+
+
+def test_pq_codes_compress_and_respect_clusters(spark):
+    """The code relation is M small ints per vector (the 32× compression
+    contract), codes are valid ids, and quantization respects the planted
+    clusters: a vector's codewords come from its OWN cluster in the
+    overwhelming majority of subspaces (the codebook is cluster-member
+    subvectors, so cross-cluster snapping would mean the quantizer is
+    broken, not merely lossy)."""
+    from forum_dl_spark.operators.similarity import (
+        CL_ID_STRIDE,
+        PQ_M,
+        PQ_PIVOT_MS,
+        pq_codes,
+    )
+
+    rows = pq_codes(spark, SF).collect()
+    assert len(rows) == 300
+    k = 10 * len(PQ_PIVOT_MS)
+    own = total = 0
+    for r in rows:
+        codes = [int(c) for c in r.codes.split("-")]
+        assert len(codes) == PQ_M
+        assert all(0 <= c < k for c in codes)
+        assert r.distortion >= 0
+        cluster = int(r.vec_id) // CL_ID_STRIDE
+        own += sum(1 for c in codes if c // len(PQ_PIVOT_MS) == cluster)
+        total += PQ_M
+    assert own / total >= 0.95, own / total
+    # codebook members quantize to themselves: zero distortion
+    for r in rows:
+        if int(r.vec_id) % CL_ID_STRIDE in PQ_PIVOT_MS:
+            assert r.distortion == 0, r
+
+
+def test_pq_recall_meaningful_but_lossy(spark):
+    """ADC over 8 codes recovers a meaningful share of the exact top-k but
+    NOT all of it — the index genuinely can miss (a recall pinned at 1.0
+    would mean the fixture isn't exercising the quantization loss at all)."""
+    from forum_dl_spark.operators.similarity import pq_recall
+
+    rows = pq_recall(spark, SF).collect()
+    assert len(rows) == 10
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert 0.4 <= mean < 1.0, mean
+
+
+def test_pq_topk_touches_codes_only_and_one_exchange(spark):
+    """ADC search shape: the query side (with its precomputed M×K distance
+    tables) is broadcast, scoring is a per-row lookup-sum over the code
+    arrays, and the only hash exchange in the plan is the per-query top-k
+    window — no range exchange (global sort), no shuffled join."""
+    from forum_dl_spark.operators.similarity import pq_topk
+
+    df = pq_topk(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
