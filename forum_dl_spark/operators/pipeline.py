@@ -718,21 +718,16 @@ SELECT doc_id, lang, rate_bp FROM r WHERE h < rate_bp
 #
 # Scale shape: the feature-model aggregate is ONE bounded exchange (at most
 # DSIR_B = 4096 groups after the map-side combine, whatever the corpus
-# size); the model joins back BROADCAST (it *is* a 4096-row table — that is
-# why DSIR hashes); the per-doc sum is one doc_id-keyed map-side-combined
-# aggregate; the final top-K is TakeOrdered. The token relation is built
-# twice (model pass + scoring pass) — two scans of the text, no persisted
-# intermediate, exactly how the reference DSIR implementation streams the
-# corpus twice.
+# size); the fitted model is then COLLECTED to the driver — it *is* a fixed
+# 4096-entry table, that is why DSIR hashes — and inlined as one literal
+# array, so the scoring pass is a narrow projection + one doc_id-keyed
+# map-side-combined aggregate with NO join anywhere; the final top-K is
+# TakeOrdered. The token relation is built twice (model pass + scoring
+# pass) — two scans of the text, no persisted intermediate, exactly how the
+# reference DSIR implementation streams the corpus twice.
 
 DSIR_B = 4096      # hashed feature buckets (the model's fixed size)
 DSIR_TOPK = 50
-
-
-def _bitlen(expr: str) -> str:
-    """Spark SQL bit-length of a non-negative integer expression —
-    floor(log2(x)) + 1 via the binary-string length (no libm, no FP)."""
-    return f"length(conv(cast(({expr}) as string), 10, 2))"
 
 
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,29 +753,31 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" 16, 10) as bigint) % {DSIR_B}"
         ).alias("f"),
     )
-    feats = tok.groupBy("f").agg(
-        F.count("*").alias("r"), F.sum("tgt").alias("t")
+    feats = {
+        int(row["f"]): (int(row["r"]), int(row["t"]))
+        for row in tok.groupBy("f")
+        .agg(F.count("*").alias("r"), F.sum("tgt").alias("t"))
+        .collect()
+    }
+    rr = sum(r for r, _ in feats.values())
+    tt = sum(t for _, t in feats.values())
+    s = [
+        (feats.get(f, (0, 0))[1] + 1).bit_length()
+        - (feats.get(f, (0, 0))[0] + 1).bit_length()
+        for f in range(DSIR_B)
+    ]
+    base = (rr + 1).bit_length() - (tt + 1).bit_length()
+    s_arr = "array(" + ",".join(f"{x}L" for x in s) + ")"
+    perdoc = tok.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(f"element_at({s_arr}, cast(f as int) + 1)")
+        ).alias("w_rel"),
+        F.count("*").alias("n_tok"),
     )
-    tot = feats.agg(F.sum("r").alias("rr"), F.sum("t").alias("tt"))
-    scored = feats.select(
-        "f",
-        F.expr(
-            f"cast({_bitlen('t + 1')} - {_bitlen('r + 1')} as bigint)"
-        ).alias("s"),
-    )
-    perdoc = (
-        tok.join(F.broadcast(scored), "f")
-        .groupBy("doc_id")
-        .agg(F.sum("s").alias("w_rel"), F.count("*").alias("n_tok"))
-    )
-    out = perdoc.crossJoin(F.broadcast(tot)).select(
+    out = perdoc.select(
         "doc_id",
         "n_tok",
-        (
-            F.col("w_rel")
-            + F.col("n_tok")
-            * F.expr(f"cast({_bitlen('rr + 1')} - {_bitlen('tt + 1')} as bigint)")
-        ).alias("weight"),
+        (F.col("w_rel") + F.col("n_tok") * F.lit(base)).alias("weight"),
     )
     top = out.orderBy(F.desc("weight"), F.asc("doc_id")).limit(DSIR_TOPK)
     w = Window.orderBy(F.desc("weight"), F.asc("doc_id"))
