@@ -1,0 +1,66 @@
+"""Behavior pins for the round-5 tokenizer/data-selection operators:
+DSIR importance weights and BPE merge-round-1 pair counts.
+
+Oracle equality is covered by the parametrized gate in
+tests/test_operators_oracle.py; these pin the SEMANTIC invariants a hash
+match alone would not explain:
+
+- DSIR: the whole point of importance resampling is that the top-weighted
+  documents are ENRICHED in the target distribution — the top-K must
+  contain quality-predicate documents at a higher rate than the corpus
+  base rate (Xie et al. 2023 §3; reference quality-gate target).
+- BPE: round-1 pair counts must equal an independent pure-Python
+  simulation of Sennrich et al.'s count step — independent of BOTH Spark
+  SQL and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bpe_first_merges_match_python_reference(spark):
+    from forum_dl_spark.operators.textops import BPE_PAIR_TOPK, bpe_first_merges
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    counts: Counter = Counter()
+    for text in texts:
+        for w in re.split(r"\s+", text.lower()):
+            if len(w) >= 2:
+                counts.update(w[i : i + 2] for i in range(len(w) - 1))
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :BPE_PAIR_TOPK
+    ]
+
+    rows = bpe_first_merges(spark, SF).orderBy("rank").collect()
+    got = [(r["pair"], r["cnt"]) for r in rows]
+    assert got == expect
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_dsir_top_docs_enriched_in_target(spark):
+    from forum_dl_spark.operators.pipeline import DSIR_TOPK, dsir_weights
+    from forum_dl_spark.operators.textops import qf_keep_cond
+
+    rows = dsir_weights(spark, SF).orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, DSIR_TOPK + 1))
+    weights = [r["weight"] for r in rows]
+    assert weights == sorted(weights, reverse=True)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", qf_keep_cond().alias("tgt")
+    )
+    tgt = {r["doc_id"] for r in docs.filter("tgt").collect()}
+    n_docs = docs.count()
+    base_rate = len(tgt) / n_docs
+    top_rate = sum(1 for r in rows if r["doc_id"] in tgt) / len(rows)
+    assert top_rate > base_rate, (top_rate, base_rate)

@@ -234,3 +234,35 @@ def test_minhash_jaccard_est_candidate_bounded(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_dsir_scoring_no_join_single_doc_exchange(spark):
+    """DSIR's scoring pass inlines the collected 4096-bucket model as a
+    literal array, so the returned plan has NO join of any kind and
+    exactly one hash exchange (the doc_id-keyed map-side-combined sum);
+    the top-K is TakeOrdered and the scan is pruned to (doc_id, text)."""
+    from forum_dl_spark.operators.pipeline import dsir_weights
+
+    df = dsir_weights(spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_bpe_first_merges_single_exchange_take_ordered(spark):
+    """BPE round-1 pair construction is a narrow two-explode projection;
+    the count is one map-side-combined pair-keyed exchange (a few-thousand
+    -key domain, so the partial combine collapses nearly all traffic);
+    the top-K is TakeOrdered; the scan reads text only."""
+    from forum_dl_spark.operators.textops import bpe_first_merges
+
+    df = bpe_first_merges(spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "ReadSchema: struct<text:string>" in plan, plan
