@@ -821,8 +821,8 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.99
 # The third classic ANN scale path next to LSH and IVF, and the memory story
 # at 100 TB: PQ (Jégou et al., TPAMI 2011) splits each vector into PQ_M
 # subvectors, quantizes each against a per-subspace codebook of K codewords,
-# and stores only the M code ids — here 4 small ints instead of 64 floats
-# (a 64× compression); search is Asymmetric Distance Computation (ADC): the
+# and stores only the M code ids — here 8 small ints instead of 64 floats
+# (a 32× compression); search is Asymmetric Distance Computation (ADC): the
 # query precomputes an M×K table of subspace distances ONCE, then every
 # database vector is scored with M table lookups + adds, never touching the
 # original floats.
