@@ -111,6 +111,12 @@ BENCH_QUERIES = [
     "ngram_lm_topk",
     "events_asof_join",
     "minhash_jaccard_est",
+    "pq_codes",
+    "pq_topk",
+    "pq_recall",
+    "dsir_weights",
+    "bpe_first_merges",
+    "bpe_merges",
     # NOT benched (like the other crawl smokes): pagerank_crawl's cost is
     # ~90% running the fixture crawl, which the crawl scaling section
     # already measures at 4 orders of magnitude more pages

@@ -645,6 +645,126 @@ SELECT pair, cnt, rank FROM (
 """
 
 
+# --- BPE merge training: the full iterative loop ------------------------------
+#
+# The multi-round continuation of ``bpe_first_merges``: BPE_MERGE_ROUNDS
+# rounds of Sennrich et al.'s training loop — count adjacent symbol pairs,
+# pick the most frequent (ties lexicographic), merge it everywhere, repeat.
+# This is the kmeans_assign/CC pattern applied to tokenizer training: the
+# learned state (the merge table) is TINY driver-side control state (one
+# (lhs, rhs) rule per round) while the corpus-sized work stays declarative —
+# each round is one map-side-combined pair-count aggregate over a narrow
+# symbolization projection, and the chosen merge is applied by composing one
+# more literal `replace()` onto that projection (no join, nothing persisted).
+#
+# Symbol representation: each symbol is bracket-wrapped (`[t][h][e]`), so a
+# merge is the LITERAL string replace `'[a][b]' -> '[ab]'`. Brackets make
+# adjacent occurrences disjoint — with space separators the shared boundary
+# char makes `replace` skip every second occurrence of a run (` a b a b `
+# has overlapping ` a b ` matches), whereas `[a][b][a][b]` replaces cleanly
+# twice. Left-to-right non-overlapping `replace` is exactly BPE's greedy
+# merge-application order, and Spark, DuckDB, and Python `str.replace` all
+# share that semantics, which is what makes the unrolled static-SQL oracle
+# possible (each round's winner enters the next round's replace as a scalar
+# subquery).
+#
+# At 100 TB: R rounds = R corpus scans. The known production optimization —
+# incremental pair-count DELTAS touching only words containing the merged
+# pair (what HF tokenizers does) — trades this for a stateful word table;
+# the per-round full recount is the faithful reference algorithm and keeps
+# every round a two-stage narrow plan.
+
+BPE_MERGE_ROUNDS = 4
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first ``BPE_MERGE_ROUNDS`` BPE merge rules (round, lhs, rhs,
+    merged symbol, pair count at merge time), trained on the corpus with
+    the greedy left-to-right merge application of the reference BPE."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        F.explode(
+            F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    cur = F.regexp_replace(F.col("w"), "(.)", "[$1]")
+    rules: list[tuple] = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        top = (
+            words.select(cur.alias("s"))
+            .select(
+                F.split(
+                    F.expr("substring(s, 2, length(s) - 2)"), r"\]\["
+                ).alias("y")
+            )
+            .filter(F.size("y") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(y) - 1),"
+                        " i -> struct(element_at(y, i) as lhs,"
+                        " element_at(y, i + 1) as rhs))"
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
+        rules.append((rnd, a, b, a + b, cnt))
+        cur = F.replace(cur, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+    return spark.createDataFrame(
+        rules,
+        "merge_round bigint, lhs string, rhs string, merged string, cnt bigint",
+    )
+
+
+def _bpe_merges_sql() -> str:
+    parts = [
+        r"""w0 AS (
+  SELECT regexp_replace(w, '(.)', '[\1]', 'g') AS s
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> x != '')) AS w FROM documents)
+  WHERE length(w) >= 2
+)"""
+    ]
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest([{{'lhs': y[i], 'rhs': y[i + 1]}}
+                   for i in generate_series(1, len(y) - 1)],
+                  recursive := true)
+    FROM (SELECT string_split(substr(s, 2, length(s) - 2), '][') AS y
+          FROM w{r - 1})
+  ) GROUP BY 1, 2
+),
+m{r} AS (SELECT lhs, rhs, cnt FROM p{r} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"""
+        )
+        if r < BPE_MERGE_ROUNDS:
+            parts.append(
+                f"""w{r} AS (
+  SELECT replace(s,
+                 '[' || (SELECT lhs FROM m{r}) || '][' ||
+                 (SELECT rhs FROM m{r}) || ']',
+                 '[' || (SELECT lhs || rhs FROM m{r}) || ']') AS s
+  FROM w{r - 1}
+)"""
+            )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, lhs, rhs,"
+        f" lhs || rhs AS merged, cnt FROM m{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
 # --- training-sequence packing ----------------------------------------------------
 #
 # GPT-style sequence packing: the corpus is (logically) concatenated in a
@@ -960,6 +1080,7 @@ QUERIES = {
     "token_topk": token_topk,
     "ngram_lm_topk": ngram_lm_topk,
     "bpe_first_merges": bpe_first_merges,
+    "bpe_merges": bpe_merges,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "spans_interleave": spans_interleave,
@@ -981,6 +1102,7 @@ ORACLES = {
     "token_topk": TOKEN_TOPK_SQL,
     "ngram_lm_topk": NGRAM_LM_TOPK_SQL,
     "bpe_first_merges": BPE_FIRST_MERGES_SQL,
+    "bpe_merges": _bpe_merges_sql(),
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "spans_interleave": SPANS_INTERLEAVE_SQL,

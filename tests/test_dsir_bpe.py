@@ -64,3 +64,46 @@ def test_dsir_top_docs_enriched_in_target(spark):
     base_rate = len(tgt) / n_docs
     top_rate = sum(1 for r in rows if r["doc_id"] in tgt) / len(rows)
     assert top_rate > base_rate, (top_rate, base_rate)
+
+
+def _bpe_apply(syms: list, a: str, b: str) -> list:
+    """Greedy left-to-right merge application (Sennrich reference)."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bpe_merges_match_python_training_loop(spark):
+    """The full iterative trainer equals an independent pure-Python BPE
+    simulation — including the greedy left-to-right application order the
+    bracket-wrapped replace() encoding must reproduce exactly."""
+    from forum_dl_spark.operators.textops import BPE_MERGE_ROUNDS, bpe_merges
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    corpus = [
+        list(w)
+        for text in texts
+        for w in re.split(r"\s+", text.lower())
+        if len(w) >= 2
+    ]
+    expect = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        counts: Counter = Counter()
+        for syms in corpus:
+            counts.update(zip(syms, syms[1:]))
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rnd, a, b, a + b, cnt))
+        corpus = [_bpe_apply(syms, a, b) for syms in corpus]
+
+    got = [tuple(r) for r in bpe_merges(spark, SF).orderBy("merge_round").collect()]
+    assert got == expect
