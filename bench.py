@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "bpe_first_merges",
     "bpe_merges",
+    "media_frame_sample",
     # NOT benched (like the other crawl smokes): pagerank_crawl's cost is
     # ~90% running the fixture crawl, which the crawl scaling section
     # already measures at 4 orders of magnitude more pages

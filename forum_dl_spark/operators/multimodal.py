@@ -132,6 +132,103 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(featurize, FEATURES_SCHEMA)
 
 
+# --- frame sampling ------------------------------------------------------------
+#
+# The video/audio counterpart of media_features: treat each binary payload
+# as a fixed-frame-size container (FRAME_BYTES bytes/frame) and emit every
+# FRAME_EVERY-th frame as its own row — the standard decode-and-subsample
+# step of a multimodal training pipeline (e.g. 1 fps video sampling). The
+# row-EXPANDING mapInPandas shape is the part worth pinning: one input
+# media row fans out to n_frames/FRAME_EVERY output rows inside the same
+# Arrow batch, no shuffle, no join — at 100 TB the frame table inherits the
+# media table's partitioning and never exchanges. The real codec boundary
+# stays stubbed (decode_image); frame slicing + checksums are deterministic
+# over the md5-derived payload spec, so the DuckDB oracle replays them
+# closed-form on the hex string.
+
+FRAME_BYTES = 32
+FRAME_EVERY = 3
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("frame_off", LongType(), False),
+        StructField("frame_md5", StringType(), False),
+    ]
+)
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ``FRAME_EVERY``-th fixed-size frame of each media payload,
+    with its byte offset and a content checksum — one row per sampled
+    frame, produced row-expanding inside the Arrow batch."""
+    media = synth_media(spark, sf_dir)
+
+    def sample(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "n_frames": [],
+                "frame_off": [],
+                "frame_md5": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                nf = len(b) // FRAME_BYTES
+                for i in range(0, nf, FRAME_EVERY):
+                    off = i * FRAME_BYTES
+                    frame = b[off : off + FRAME_BYTES]
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(nf)
+                    out["frame_off"].append(off)
+                    out["frame_md5"].append(
+                        hashlib.md5(frame.hex().encode()).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(out).astype(
+                {
+                    "media_id": "int64",
+                    "frame_idx": "int64",
+                    "n_frames": "int64",
+                    "frame_off": "int64",
+                }
+            )
+
+    return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
+MEDIA_FRAME_SAMPLE_SQL = f"""
+WITH m AS (
+  SELECT id AS media_id,
+         md5('media:' || id) AS hexd,
+         16 + id % 16 AS reps,
+         256 + id % 256 AS cap
+  FROM range(0, 200) t(id)
+),
+b AS (
+  SELECT media_id,
+         LEAST(16 * reps, cap) AS n_bytes,
+         substring(repeat(hexd, reps), 1, 2 * LEAST(16 * reps, cap)) AS hexstr
+  FROM m
+),
+f AS (
+  SELECT media_id, n_bytes // {FRAME_BYTES} AS n_frames, hexstr FROM b
+)
+SELECT media_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(i * {FRAME_BYTES} AS BIGINT) AS frame_off,
+       substring(md5(substring(hexstr, 1 + {2 * FRAME_BYTES} * i,
+                               {2 * FRAME_BYTES})), 1, 16) AS frame_md5
+FROM f, LATERAL (
+  SELECT unnest(generate_series(0, n_frames - 1, {FRAME_EVERY})) AS i
+) g
+"""
+
+
 def crawl_discourse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiny end-to-end crawl returning the interleaved-spans documents table
     (the north-rule payload) — registered rows-only (no SQL oracle: the
@@ -316,6 +413,7 @@ WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
 
 QUERIES = {
     "media_features": media_features,
+    "media_frame_sample": media_frame_sample,
     "media_phash_neardup": media_phash_neardup,
     "crawl_discourse_spans": crawl_discourse_spans,
     "crawl_phpbb_files": crawl_phpbb_files,
@@ -328,6 +426,7 @@ QUERIES = {
 # smokes stay rows-only (iterative stateful crawl, not SQL-expressible).
 ORACLES: dict[str, str] = {
     "media_phash_neardup": MEDIA_PHASH_NEARDUP_SQL,
+    "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "media_features": """
 WITH m AS (
   SELECT id AS media_id,

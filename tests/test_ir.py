@@ -139,3 +139,38 @@ def test_perplexity_buckets_are_balanced(spark):
     )
     assert set(counts) == {1, 2, 3}
     assert max(counts.values()) - min(counts.values()) <= 1
+
+
+def test_media_frame_sample_exact_and_zero_exchange(spark):
+    """Frame sampling must (a) re-derive exactly in pure Python over the
+    md5 payload spec, and (b) fan out INSIDE the Arrow batch: the physical
+    plan contains no shuffle exchange — the frame table inherits the media
+    table's partitioning."""
+    import hashlib
+
+    from forum_dl_spark.operators.multimodal import (FRAME_BYTES, FRAME_EVERY,
+                                                     media_frame_sample)
+
+    df = media_frame_sample(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["n_frames"], r["frame_off"], r["frame_md5"])
+        for r in df.collect()
+    }
+    want = {}
+    for mid in range(200):
+        h = hashlib.md5(f"media:{mid}".encode()).digest()
+        payload = (h * (16 + mid % 16))[: 256 + mid % 256]
+        nf = len(payload) // FRAME_BYTES
+        for i in range(0, nf, FRAME_EVERY):
+            off = i * FRAME_BYTES
+            fr = payload[off : off + FRAME_BYTES]
+            want[(mid, i)] = (
+                nf,
+                off,
+                hashlib.md5(fr.hex().encode()).hexdigest()[:16],
+            )
+    assert got == want
