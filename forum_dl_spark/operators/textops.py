@@ -677,10 +677,19 @@ SELECT pair, cnt, rank FROM (
 BPE_MERGE_ROUNDS = 4
 
 
-def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The first ``BPE_MERGE_ROUNDS`` BPE merge rules (round, lhs, rhs,
-    merged symbol, pair count at merge time), trained on the corpus with
-    the greedy left-to-right merge application of the reference BPE."""
+# Trained merge tables are TINY driver-side state (BPE_MERGE_ROUNDS tuples)
+# but cost R corpus aggregates to learn; the memo lets bpe_merges and
+# bpe_encode share one training run per (session, sf_dir) — pure Python
+# lists, so unlike _WINNOW_MEMO there is no persist lifetime to manage.
+_BPE_RULES_MEMO: dict[tuple[str, str], list] = {}
+
+
+def _train_bpe(spark: SparkSession, sf_dir: str) -> list:
+    """Run the BPE training loop; returns [(round, lhs, rhs, merged, cnt)]."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BPE_RULES_MEMO.get(key)
+    if cached is not None:
+        return cached
     d = _docs(spark, sf_dir)
     words = d.select(
         F.explode(
@@ -718,9 +727,121 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
         rules.append((rnd, a, b, a + b, cnt))
         cur = F.replace(cur, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+    for old_key in [k for k in _BPE_RULES_MEMO if k[0] != key[0]]:
+        del _BPE_RULES_MEMO[old_key]
+    _BPE_RULES_MEMO[key] = rules
+    return rules
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first ``BPE_MERGE_ROUNDS`` BPE merge rules (round, lhs, rhs,
+    merged symbol, pair count at merge time), trained on the corpus with
+    the greedy left-to-right merge application of the reference BPE."""
     return spark.createDataFrame(
-        rules,
+        _train_bpe(spark, sf_dir),
         "merge_round bigint, lhs string, rhs string, merged string, cnt bigint",
+    )
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the trained merge table encoded back over
+    the corpus: per document, every word is symbolized and the
+    ``BPE_MERGE_ROUNDS`` learned merges are applied greedily left-to-right
+    (the reference BPE encode order), yielding per-doc token counts under
+    the trained tokenizer and the chars-per-token compression ratio
+    (integer basis points, so both engines decide identically).
+
+    Scale shape — the part worth pinning: once the rules exist they are
+    LITERAL plan state (like kmeans centroids / the DSIR score array), so
+    encoding is a map-only narrow projection over the documents scan with
+    ZERO exchange: symbolize → R composed literal ``replace`` calls →
+    count the remaining ``[`` symbol markers. Per-word bracket groups are
+    joined with a bare space the wrapper never brackets, so no merge
+    pattern (always ``...][...`` contiguous) can span a word boundary —
+    encode-time isolation matches the per-word training. At 100 TB this is
+    the ideal operator: embarrassingly parallel, inherits the corpus
+    partitioning, whole-stage codegen end to end.
+    """
+    rules = _train_bpe(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    words = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    sym: F.Column = F.concat_ws(
+        " ", F.expr("transform(ws, w -> regexp_replace(w, '(.)', '[$1]'))")
+    )
+    for _rnd, a, b, _m, _cnt in rules:
+        sym = F.replace(sym, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+    enc = (
+        d.withColumn("ws", words)
+        .select(
+            "doc_id",
+            F.expr("cast(size(ws) as bigint)").alias("n_words"),
+            F.expr("cast(length(concat_ws('', ws)) as bigint)").alias(
+                "n_chars"
+            ),
+            (F.length(sym) - F.length(F.replace(sym, F.lit("["))))
+            .cast("bigint")
+            .alias("n_tokens_bpe"),
+        )
+    )
+    return enc.withColumn(
+        "cpt_e4",
+        F.expr(
+            "cast(case when n_tokens_bpe > 0"
+            " then (10000 * n_chars) div n_tokens_bpe else 0 end as bigint)"
+        ),
+    )
+
+
+def _bpe_encode_sql() -> str:
+    """Unrolled oracle: the training CTEs are ``_bpe_merges_sql``'s w/m
+    chain verbatim (anti-drift — the apply query cannot diverge from the
+    train query), then per-doc symbolize + the R replaces as scalar
+    subqueries."""
+    train = _bpe_merges_sql()
+    # _bpe_merges_sql ends with the m1..mR UNION ALL select; strip it and
+    # keep every CTE (w0..w{R-1}, p1..pR, m1..mR).
+    ctes = train.split("\nSELECT CAST(1 AS BIGINT)")[0][len("WITH ") :]
+    enc = [
+        r"""e0 AS (
+  SELECT doc_id,
+         array_to_string(list_transform(ws,
+             w -> regexp_replace(w, '(.)', '[\1]', 'g')), ' ') AS s,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(length(array_to_string(ws, '')) AS BIGINT) AS n_chars
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x != '') AS ws
+        FROM documents)
+)"""
+    ]
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        enc.append(
+            f"""e{r} AS (
+  SELECT doc_id, n_words, n_chars,
+         replace(s,
+                 '[' || (SELECT lhs FROM m{r}) || '][' ||
+                 (SELECT rhs FROM m{r}) || ']',
+                 '[' || (SELECT lhs || rhs FROM m{r}) || ']') AS s
+  FROM e{r - 1}
+)"""
+        )
+    last = f"e{BPE_MERGE_ROUNDS}"
+    return (
+        "WITH "
+        + ctes.rstrip().rstrip(",")
+        + ",\n"
+        + ",\n".join(enc)
+        + f"""
+SELECT doc_id, n_words, n_chars, n_tokens_bpe,
+       CAST(CASE WHEN n_tokens_bpe > 0
+                 THEN (10000 * n_chars) // n_tokens_bpe ELSE 0 END
+            AS BIGINT) AS cpt_e4
+FROM (
+  SELECT doc_id, n_words, n_chars,
+         CAST(length(s) - length(replace(s, '[', '')) AS BIGINT)
+         AS n_tokens_bpe
+  FROM {last}
+)"""
     )
 
 
@@ -1081,6 +1202,7 @@ QUERIES = {
     "ngram_lm_topk": ngram_lm_topk,
     "bpe_first_merges": bpe_first_merges,
     "bpe_merges": bpe_merges,
+    "bpe_encode": bpe_encode,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "spans_interleave": spans_interleave,
@@ -1103,6 +1225,7 @@ ORACLES = {
     "ngram_lm_topk": NGRAM_LM_TOPK_SQL,
     "bpe_first_merges": BPE_FIRST_MERGES_SQL,
     "bpe_merges": _bpe_merges_sql(),
+    "bpe_encode": _bpe_encode_sql(),
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "spans_interleave": SPANS_INTERLEAVE_SQL,

@@ -107,3 +107,37 @@ def test_bpe_merges_match_python_training_loop(spark):
 
     got = [tuple(r) for r in bpe_merges(spark, SF).orderBy("merge_round").collect()]
     assert got == expect
+
+
+def test_bpe_encode_matches_python_tokenizer(spark):
+    """Encoding the corpus under the trained merge table equals applying
+    the same rules per word with the greedy left-to-right reference
+    tokenizer — token counts, char counts, and the basis-point
+    compression ratio, for every document."""
+    from forum_dl_spark.operators.textops import bpe_encode, bpe_merges
+
+    import pyarrow.parquet as pq
+
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(spark, SF).orderBy("merge_round").collect()
+    ]
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    expect = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        ws = [w for w in re.split(r"\s+", text.lower()) if w]
+        n_chars = sum(len(w) for w in ws)
+        n_tokens = 0
+        for w in ws:
+            syms = list(w)
+            for a, b in rules:
+                syms = _bpe_apply(syms, a, b)
+            n_tokens += len(syms)
+        cpt = (10000 * n_chars) // n_tokens if n_tokens else 0
+        expect[doc_id] = (len(ws), n_chars, n_tokens, cpt)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens_bpe"], r["cpt_e4"])
+        for r in bpe_encode(spark, SF).collect()
+    }
+    assert got == expect

@@ -266,3 +266,18 @@ def test_bpe_first_merges_single_exchange_take_ordered(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "ReadSchema: struct<text:string>" in plan, plan
+
+
+def test_bpe_encode_apply_is_zero_exchange_map_only(spark):
+    """Once the merge table is trained (tiny driver-side state, memoized),
+    encoding is a pure map: symbolize -> R composed literal replaces ->
+    marker count. The returned plan must contain no join and no exchange
+    of any kind, and the scan reads only (doc_id, text) — the operator
+    inherits the corpus partitioning untouched at any scale."""
+    from forum_dl_spark.operators.textops import bpe_encode
+
+    df = bpe_encode(spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert _n_exchanges(df) == 0, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
