@@ -971,6 +971,32 @@ FROM a3 JOIN (
 """
 
 
+def dsir_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selected-corpus EMIT for DSIR — the resampling step the weights
+    exist for: the top-``DSIR_TOPK`` selection joined back to its document
+    rows (metadata columns; text stays behind the doc_id like every other
+    EMIT here).
+
+    Scale shape: the selection is a fixed-size relation (top-K), so it is
+    explicitly broadcast into the documents scan — one BroadcastHashJoin,
+    the corpus never shuffles. The DuckDB oracle embeds ``_dsir_sql``
+    verbatim as a derived table so apply cannot drift from the weights
+    query."""
+    sel = dsir_weights(spark, sf_dir).select("doc_id", "weight", "rank")
+    d = _docs(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
+    return d.join(F.broadcast(sel), "doc_id").select(
+        "doc_id", "source", "lang", "n_chars", "weight", "rank"
+    )
+
+
+def _dsir_apply_sql() -> str:
+    return f"""
+SELECT d.doc_id, d.source, d.lang, d.n_chars, sel.weight, sel.rank
+FROM documents d
+JOIN ({_dsir_sql()}) sel ON d.doc_id = sel.doc_id
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
@@ -981,6 +1007,7 @@ QUERIES = {
     "bottomk_sample": bottomk_sample,
     "mix_sample": mix_sample,
     "dsir_weights": dsir_weights,
+    "dsir_apply": dsir_apply,
     "kmeans_assign": kmeans_assign,
 }
 
@@ -994,5 +1021,6 @@ ORACLES = {
     "bottomk_sample": BOTTOMK_SAMPLE_SQL,
     "mix_sample": MIX_SAMPLE_SQL,
     "dsir_weights": _dsir_sql(),
+    "dsir_apply": _dsir_apply_sql(),
     "kmeans_assign": _km_oracle_sql(),
 }

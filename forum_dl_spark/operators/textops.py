@@ -743,6 +743,28 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_words_col() -> "F.Column":
+    """The non-empty lowercased word array every encode-side consumer
+    symbolizes (lazy: ``F.expr`` needs an active session)."""
+    return F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+
+
+def _bpe_token_count_col(rules: list) -> "F.Column":
+    """Token count under the trained tokenizer, as a pure Column over a
+    ``ws`` word-array column: symbolize every word into bracket groups,
+    compose the R learned merges as literal ``replace`` calls (left-to-
+    right ``replace`` IS the greedy reference application on disjoint
+    bracket patterns), then count the remaining ``[`` symbol markers."""
+    sym: F.Column = F.concat_ws(
+        " ", F.expr("transform(ws, w -> regexp_replace(w, '(.)', '[$1]'))")
+    )
+    for _rnd, a, b, _m, _cnt in rules:
+        sym = F.replace(sym, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+    return (F.length(sym) - F.length(F.replace(sym, F.lit("[")))).cast(
+        "bigint"
+    )
+
+
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION — the trained merge table encoded back over
     the corpus: per document, every word is symbolized and the
@@ -764,23 +786,15 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     rules = _train_bpe(spark, sf_dir)
     d = _docs(spark, sf_dir)
-    words = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
-    sym: F.Column = F.concat_ws(
-        " ", F.expr("transform(ws, w -> regexp_replace(w, '(.)', '[$1]'))")
-    )
-    for _rnd, a, b, _m, _cnt in rules:
-        sym = F.replace(sym, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
     enc = (
-        d.withColumn("ws", words)
+        d.withColumn("ws", _bpe_words_col())
         .select(
             "doc_id",
             F.expr("cast(size(ws) as bigint)").alias("n_words"),
             F.expr("cast(length(concat_ws('', ws)) as bigint)").alias(
                 "n_chars"
             ),
-            (F.length(sym) - F.length(F.replace(sym, F.lit("["))))
-            .cast("bigint")
-            .alias("n_tokens_bpe"),
+            _bpe_token_count_col(rules).alias("n_tokens_bpe"),
         )
     )
     return enc.withColumn(
@@ -792,23 +806,24 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_sql() -> str:
-    """Unrolled oracle: the training CTEs are ``_bpe_merges_sql``'s w/m
-    chain verbatim (anti-drift — the apply query cannot diverge from the
-    train query), then per-doc symbolize + the R replaces as scalar
-    subqueries."""
+def _bpe_train_and_enc_ctes(carry: str = "") -> str:
+    """The shared oracle scaffolding every encode-side query composes:
+    ``_bpe_merges_sql``'s training CTE chain VERBATIM (anti-drift — an
+    apply query cannot diverge from the train query), then the e0..eR
+    per-doc symbolize + R-replace chain.  ``carry`` threads extra document
+    columns (e.g. ``", source"``) through the chain."""
     train = _bpe_merges_sql()
     # _bpe_merges_sql ends with the m1..mR UNION ALL select; strip it and
     # keep every CTE (w0..w{R-1}, p1..pR, m1..mR).
     ctes = train.split("\nSELECT CAST(1 AS BIGINT)")[0][len("WITH ") :]
     enc = [
-        r"""e0 AS (
-  SELECT doc_id,
+        rf"""e0 AS (
+  SELECT doc_id{carry},
          array_to_string(list_transform(ws,
              w -> regexp_replace(w, '(.)', '[\1]', 'g')), ' ') AS s,
          CAST(len(ws) AS BIGINT) AS n_words,
          CAST(length(array_to_string(ws, '')) AS BIGINT) AS n_chars
-  FROM (SELECT doc_id,
+  FROM (SELECT doc_id{carry},
                list_filter(regexp_split_to_array(lower(text), '\s+'),
                            x -> x != '') AS ws
         FROM documents)
@@ -817,7 +832,7 @@ def _bpe_encode_sql() -> str:
     for r in range(1, BPE_MERGE_ROUNDS + 1):
         enc.append(
             f"""e{r} AS (
-  SELECT doc_id, n_words, n_chars,
+  SELECT doc_id{carry}, n_words, n_chars,
          replace(s,
                  '[' || (SELECT lhs FROM m{r}) || '][' ||
                  (SELECT rhs FROM m{r}) || ']',
@@ -825,12 +840,15 @@ def _bpe_encode_sql() -> str:
   FROM e{r - 1}
 )"""
         )
+    return "WITH " + ctes.rstrip().rstrip(",") + ",\n" + ",\n".join(enc)
+
+
+def _bpe_encode_sql() -> str:
+    """Unrolled oracle: train CTEs + symbolize/replace chain, then the
+    per-doc token count and compression ratio."""
     last = f"e{BPE_MERGE_ROUNDS}"
     return (
-        "WITH "
-        + ctes.rstrip().rstrip(",")
-        + ",\n"
-        + ",\n".join(enc)
+        _bpe_train_and_enc_ctes()
         + f"""
 SELECT doc_id, n_words, n_chars, n_tokens_bpe,
        CAST(CASE WHEN n_tokens_bpe > 0
@@ -987,6 +1005,72 @@ FROM packs
 GROUP BY source, pack_id
 """
 )
+
+
+def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing under the TRAINED tokenizer — the end-to-end
+    pretraining data path: ``bpe_merges`` learns the merge table,
+    ``_bpe_token_count_col`` prices every document in REAL trained-
+    tokenizer tokens (not the ceil(len/4) heuristic ``pack_sequences``
+    uses), and the same per-source cumulative-sum window assigns each
+    document to the fixed ``PACK_BUDGET``-token pack its first token lands
+    in.
+
+    Scale shape: identical to ``pack_sequences`` — the token pricing is a
+    map-only projection (trained rules are plan literals), so the ONLY
+    exchange is the source-keyed window hash partitioning; no global sort,
+    no join. Swapping the tokenizer changed the cost model, not the plan.
+    """
+    from pyspark.sql import Window
+
+    rules = _train_bpe(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    t = d.withColumn("ws", _bpe_words_col()).select(
+        "doc_id",
+        "source",
+        _bpe_token_count_col(rules).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"cast(start div {PACK_BUDGET} as int)").alias("pack_id"),
+        F.col("start").__mod__(PACK_BUDGET).cast("long").alias("pack_off"),
+    )
+
+
+def _pack_sequences_bpe_sql() -> str:
+    """Oracle composition: the shared BPE train+encode CTE chain (with
+    ``source`` carried through) feeding ``pack_sequences``'s window —
+    neither half can drift from its standalone query."""
+    last = f"e{BPE_MERGE_ROUNDS}"
+    return (
+        _bpe_train_and_enc_ctes(carry=", source")
+        + f""",
+t AS (
+  SELECT doc_id, source,
+         CAST(length(s) - length(replace(s, '[', '')) AS BIGINT) AS n_tokens
+  FROM {last}
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS start
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       cast(start // {PACK_BUDGET} AS int) AS pack_id,
+       cast(start % {PACK_BUDGET} AS bigint) AS pack_off
+FROM cum
+"""
+    )
 
 
 # --- repetition signals -------------------------------------------------------
@@ -1203,6 +1287,7 @@ QUERIES = {
     "bpe_first_merges": bpe_first_merges,
     "bpe_merges": bpe_merges,
     "bpe_encode": bpe_encode,
+    "pack_sequences_bpe": pack_sequences_bpe,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "spans_interleave": spans_interleave,
@@ -1226,6 +1311,7 @@ ORACLES = {
     "bpe_first_merges": BPE_FIRST_MERGES_SQL,
     "bpe_merges": _bpe_merges_sql(),
     "bpe_encode": _bpe_encode_sql(),
+    "pack_sequences_bpe": _pack_sequences_bpe_sql(),
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "spans_interleave": SPANS_INTERLEAVE_SQL,

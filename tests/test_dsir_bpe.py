@@ -141,3 +141,50 @@ def test_bpe_encode_matches_python_tokenizer(spark):
         for r in bpe_encode(spark, SF).collect()
     }
     assert got == expect
+
+
+def test_pack_sequences_bpe_consistent_with_encode(spark):
+    """The trained-tokenizer packing prices every document with EXACTLY
+    bpe_encode's token count, and pack assignment is the per-source
+    cumulative sum over doc_id order — recomputed independently in
+    Python from the encode output."""
+    from forum_dl_spark.operators.textops import (
+        PACK_BUDGET,
+        bpe_encode,
+        pack_sequences_bpe,
+    )
+
+    import pyarrow.parquet as pq
+
+    enc = {
+        r["doc_id"]: r["n_tokens_bpe"] for r in bpe_encode(spark, SF).collect()
+    }
+    src = dict(
+        zip(
+            *[
+                pq.read_table(
+                    f"{SF}/documents.parquet", columns=["doc_id", "source"]
+                )[c].to_pylist()
+                for c in ("doc_id", "source")
+            ]
+        )
+    )
+    by_source: dict = {}
+    for doc_id in sorted(enc):
+        by_source.setdefault(src[doc_id], []).append(doc_id)
+    expect = {}
+    for docs in by_source.values():
+        start = 0
+        for doc_id in docs:
+            expect[doc_id] = (
+                enc[doc_id],
+                start // PACK_BUDGET,
+                start % PACK_BUDGET,
+            )
+            start += enc[doc_id]
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["pack_id"], r["pack_off"])
+        for r in pack_sequences_bpe(spark, SF).collect()
+    }
+    assert got == expect

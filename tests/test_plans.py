@@ -281,3 +281,31 @@ def test_bpe_encode_apply_is_zero_exchange_map_only(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan, plan
     assert _n_exchanges(df) == 0, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_pack_sequences_bpe_single_exchange_no_join(spark):
+    """Packing under the trained tokenizer keeps pack_sequences' plan:
+    the token pricing is a map-only projection (rules are plan literals),
+    so the only exchange is the source-keyed window partitioning — no
+    join, no global sort, scan pruned to (doc_id, source, text)."""
+    from forum_dl_spark.operators.textops import pack_sequences_bpe
+
+    df = pack_sequences_bpe(spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan or \
+        "ReadSchema: struct<doc_id:bigint,source:string,text:string>" in plan, plan
+
+
+def test_dsir_apply_broadcasts_selection(spark):
+    """The DSIR EMIT joins a fixed-size top-K selection back to the
+    corpus: the selection side must broadcast (one BroadcastHashJoin) so
+    the documents scan never shuffles."""
+    from forum_dl_spark.operators.pipeline import dsir_apply
+
+    df = dsir_apply(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
