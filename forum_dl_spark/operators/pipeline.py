@@ -730,16 +730,18 @@ DSIR_B = 4096      # hashed feature buckets (the model's fixed size)
 DSIR_TOPK = 50
 
 
-def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-``DSIR_TOPK`` documents by integer-exact DSIR importance
-    weight (hashed unigram features, quality-gate target), ties broken on
-    doc_id."""
-    from pyspark.sql import Window
+# The fitted model is a fixed 4096-entry integer table — tiny driver-side
+# state that costs one corpus scan to learn; the memo lets dsir_weights and
+# dsir_apply share one model fit per (session, sf_dir), the _BPE_RULES_MEMO
+# pattern (pure Python scalars, no persist lifetime to manage).
+_DSIR_MODEL_MEMO: dict[tuple[str, str], tuple] = {}
 
+
+def _dsir_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import qf_keep_cond
 
     d = _docs(spark, sf_dir)
-    tok = d.select(
+    return d.select(
         "doc_id",
         qf_keep_cond().cast("long").alias("tgt"),
         F.explode(
@@ -753,6 +755,17 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" 16, 10) as bigint) % {DSIR_B}"
         ).alias("f"),
     )
+
+
+def _fit_dsir(spark: SparkSession, sf_dir: str) -> tuple:
+    """Fit (or recall) the hashed-feature model; returns (s_arr, base)
+    where ``s_arr`` is the literal per-bucket score array SQL and ``base``
+    the per-token normalizer."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DSIR_MODEL_MEMO.get(key)
+    if cached is not None:
+        return cached
+    tok = _dsir_tok(spark, sf_dir)
     feats = {
         int(row["f"]): (int(row["r"]), int(row["t"]))
         for row in tok.groupBy("f")
@@ -768,6 +781,20 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     base = (rr + 1).bit_length() - (tt + 1).bit_length()
     s_arr = "array(" + ",".join(f"{x}L" for x in s) + ")"
+    for old_key in [k for k in _DSIR_MODEL_MEMO if k[0] != key[0]]:
+        del _DSIR_MODEL_MEMO[old_key]
+    _DSIR_MODEL_MEMO[key] = (s_arr, base)
+    return s_arr, base
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``DSIR_TOPK`` documents by integer-exact DSIR importance
+    weight (hashed unigram features, quality-gate target), ties broken on
+    doc_id."""
+    from pyspark.sql import Window
+
+    s_arr, base = _fit_dsir(spark, sf_dir)
+    tok = _dsir_tok(spark, sf_dir)
     perdoc = tok.groupBy("doc_id").agg(
         F.sum(
             F.expr(f"element_at({s_arr}, cast(f as int) + 1)")
