@@ -440,12 +440,150 @@ HAVING count(*) >= 2
 )
 
 
+def winnow_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level exact-substring dedup accounting (the Lee et al. 2022
+    'deduplicating training data' scrub, driven by the winnowing index):
+    every df-capped fingerprint whose hash also occurs in an EARLIER
+    document (min-doc_id owner keeps its text — the same keep-first rule
+    as every dedup_apply here) marks its k-gram char interval as
+    duplicated; overlapping/adjacent intervals are merged per document
+    (gaps-and-islands over the position-sorted spans), and the scrub is
+    reported as integer accounting for EVERY document: merged span count,
+    duplicated chars, kept chars, and the duplicated share in basis
+    points. Completes the dedup ladder: document-level (dedup_apply),
+    segment-level (segment_dedup_apply), span-level (this).
+
+    Scale shape: the ownership aggregate is ONE fp-keyed exchange over the
+    PERSISTED winnowing memo (~2/(w+1) of k-gram rows — selection happened
+    before any shuffle); marked spans join back on fp (df-capped, fan-out
+    <= MAXDF per hash), and the island merge is one doc_id-keyed window —
+    no all-pairs, no global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    fps = _winnow_fps_cached(spark, sf_dir)
+    docfps = fps.select("doc_id", "fp").distinct()
+    stat = docfps.groupBy("fp").agg(
+        F.count("*").alias("dfp"), F.min("doc_id").alias("owner")
+    )
+    cap = stat.filter(
+        (F.col("dfp") <= WINNOW_MAXDF) & (F.col("dfp") >= 2)
+    ).select("fp", "owner")
+    iv = (
+        fps.join(cap, "fp")
+        .filter(F.col("doc_id") > F.col("owner"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("s"),
+            (F.col("pos") + WINNOW_K - 1).cast("long").alias("e"),
+        )
+        .distinct()
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("s")
+    prev_max = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    iv = iv.withColumn(
+        "ni",
+        F.when(F.coalesce(prev_max, F.lit(-1)) < F.col("s"), 1).otherwise(0),
+    ).withColumn(
+        "isl",
+        F.sum("ni").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    perdoc = (
+        iv.groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+        )
+    )
+    norm = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(
+            F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))")
+        )
+        .cast("long")
+        .alias("n_chars_norm"),
+    )
+    return norm.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        "n_chars_norm",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+        (F.col("n_chars_norm") - F.coalesce("dup_chars", F.lit(0)))
+        .cast("long")
+        .alias("kept_chars"),
+        F.expr(
+            "cast((10000 * coalesce(dup_chars, 0))"
+            " div greatest(n_chars_norm, 1) as bigint)"
+        ).alias("dup_bp"),
+    )
+
+
+WINNOW_SCRUB_SQL = (
+    "WITH wfp AS (" + WINNOW_FP_SQL.strip() + "),\n"
+    + rf"""
+fps AS (SELECT DISTINCT doc_id, pos, fp FROM wfp),
+docfps AS (SELECT DISTINCT doc_id, fp FROM fps),
+stat AS (
+  SELECT fp, count(*) AS dfp, min(doc_id) AS owner
+  FROM docfps GROUP BY fp
+),
+cap AS (SELECT fp, owner FROM stat WHERE dfp <= {WINNOW_MAXDF} AND dfp >= 2),
+iv AS (
+  SELECT DISTINCT f.doc_id,
+         CAST(f.pos AS BIGINT) AS s,
+         CAST(f.pos + {WINNOW_K} - 1 AS BIGINT) AS e
+  FROM fps f JOIN cap USING (fp)
+  WHERE f.doc_id > cap.owner
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) < s
+              THEN 1 ELSE 0 END AS ni
+  FROM iv
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS g
+  FROM flagged
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+  FROM (SELECT doc_id, g, min(s) AS s, max(e) AS e
+        FROM isl GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+norm2 AS (
+  SELECT doc_id,
+         CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+              AS BIGINT) AS n_chars_norm
+  FROM documents
+)
+SELECT n.doc_id, n.n_chars_norm,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.dup_chars, 0) AS dup_chars,
+       n.n_chars_norm - COALESCE(p.dup_chars, 0) AS kept_chars,
+       CAST((10000 * COALESCE(p.dup_chars, 0))
+            // greatest(n.n_chars_norm, 1) AS BIGINT) AS dup_bp
+FROM norm2 n LEFT JOIN perdoc p USING (doc_id)
+"""
+)
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
     "tfidf_top_terms": tfidf_top_terms,
     "perplexity_buckets": perplexity_buckets,
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_dup_spans": winnow_dup_spans,
+    "winnow_scrub_stats": winnow_scrub_stats,
 }
 
 ORACLES = {
@@ -454,4 +592,5 @@ ORACLES = {
     "perplexity_buckets": PERPLEXITY_SQL,
     "winnow_fingerprints": WINNOW_FP_SQL,
     "winnow_dup_spans": WINNOW_DUP_SQL,
+    "winnow_scrub_stats": WINNOW_SCRUB_SQL,
 }

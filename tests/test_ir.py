@@ -174,3 +174,44 @@ def test_media_frame_sample_exact_and_zero_exchange(spark):
                 hashlib.md5(fr.hex().encode()).hexdigest()[:16],
             )
     assert got == want
+
+
+def test_winnow_scrub_stats_planted_span(spark, tmp_path):
+    """Span-level scrub accounting on a planted shared run: the EARLIER
+    document owns the span (keeps its text, zero scrub), the later copy
+    gets one merged island whose char mass sits inside the shared run,
+    and an unrelated document is untouched. kept + dup must equal the
+    normalized length for every row."""
+    from forum_dl_spark.operators.ir import WINNOW_K, winnow_scrub_stats
+
+    shared = "shared duplicated span of text that winnowing must detect here"
+    texts = [
+        "alpha beta gamma delta epsilon zeta " + shared + " eta theta iota",
+        "one two three four five six seven " + shared + " eight nine ten",
+        "completely unrelated third document with no overlap at all kappa",
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+
+    rows = {r["doc_id"]: r for r in winnow_scrub_stats(spark, sf).collect()}
+    assert set(rows) == {0, 1, 2}
+    for r in rows.values():
+        assert r["kept_chars"] + r["dup_chars"] == r["n_chars_norm"]
+    assert rows[0]["n_spans"] == 0 and rows[0]["dup_chars"] == 0
+    assert rows[2]["n_spans"] == 0 and rows[2]["dup_chars"] == 0
+    assert rows[1]["n_spans"] >= 1
+    # marked intervals are k-grams selected inside the shared run: at
+    # least one k-gram of mass, at most the run plus one k-gram of slack
+    assert WINNOW_K <= rows[1]["dup_chars"] <= len(shared) + WINNOW_K
+    assert rows[1]["dup_bp"] > 0
+
+
+def test_winnow_scrub_stats_no_global_sort(spark):
+    """The island merge is a doc_id-keyed window — the plan must contain
+    no range partitioning (global sort) and no cartesian product; the
+    fingerprint relation is the shared persisted memo."""
+    from forum_dl_spark.operators.ir import winnow_scrub_stats
+
+    df = winnow_scrub_stats(spark, SF)
+    plan = _plan(df)
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
