@@ -188,3 +188,50 @@ def test_pack_sequences_bpe_consistent_with_encode(spark):
         for r in pack_sequences_bpe(spark, SF).collect()
     }
     assert got == expect
+
+
+def test_quality_classifier_beats_majority_baseline(spark):
+    """The distilled classifier's whole point (Brown et al. 2020 App. A)
+    is that the cheap model discriminates: out-of-sample accuracy on the
+    holdout split must STRICTLY beat the always-majority-class baseline
+    (which the uncalibrated floor-log2 NB degenerates to), and both
+    confusion-matrix diagonal cells must be non-empty."""
+    from forum_dl_spark.operators.pipeline import quality_classifier_eval
+
+    cells = {
+        (r["label"], r["pred"]): r["n_docs"]
+        for r in quality_classifier_eval(spark, "/root/testdata/sf0.01").collect()
+    }
+    total = sum(cells.values())
+    correct = cells.get((0, 0), 0) + cells.get((1, 1), 0)
+    majority = max(
+        cells.get((0, 0), 0) + cells.get((0, 1), 0),
+        cells.get((1, 0), 0) + cells.get((1, 1), 0),
+    )
+    assert cells.get((0, 0), 0) > 0 and cells.get((1, 1), 0) > 0, cells
+    assert correct > majority, (cells, correct / total)
+
+
+def test_quality_classifier_apply_consistent_with_eval(spark):
+    """The EMIT keeps exactly the predicted-positive holdout docs: its
+    per-label counts must equal the eval matrix's pred=1 column, and
+    every kept score must clear the calibrated threshold."""
+    from forum_dl_spark.operators.pipeline import (
+        _fit_nbq,
+        quality_classifier_apply,
+        quality_classifier_eval,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    kept = quality_classifier_apply(spark, sf).collect()
+    cells = {
+        (r["label"], r["pred"]): r["n_docs"]
+        for r in quality_classifier_eval(spark, sf).collect()
+    }
+    by_label = {}
+    for r in kept:
+        by_label[r["label"]] = by_label.get(r["label"], 0) + 1
+    assert by_label.get(1, 0) == cells.get((1, 1), 0)
+    assert by_label.get(0, 0) == cells.get((0, 1), 0)
+    _, _, _, theta = _fit_nbq(spark, sf)
+    assert all(r["score"] > theta for r in kept)

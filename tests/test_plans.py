@@ -309,3 +309,30 @@ def test_dsir_apply_broadcasts_selection(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_quality_classifier_apply_zero_exchange_map_only(spark):
+    """Once the distilled classifier is fitted (2048-entry literal weight
+    array + calibrated threshold — tiny driver-side model state, memoized
+    per session), the production APPLY is a pure filter-projection: the
+    returned plan must contain no join and no exchange of any kind, so
+    the kept corpus inherits the raw corpus's partitioning at any scale."""
+    from forum_dl_spark.operators.pipeline import quality_classifier_apply
+
+    df = quality_classifier_apply(spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert _n_exchanges(df) == 0, plan
+
+
+def test_quality_classifier_eval_single_tiny_exchange(spark):
+    """The out-of-sample audit adds only the 4-group (label, pred)
+    aggregate on top of the map-only scoring — exactly one hash exchange
+    (map-side combined to <= 4 rows), no join, no global sort."""
+    from forum_dl_spark.operators.pipeline import quality_classifier_eval
+
+    df = quality_classifier_eval(spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
