@@ -48,80 +48,28 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_QUERIES = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "top_customers_per_nation",
-    "events_hourly",
-    "events_sessionize",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "spans_interleave",
-    "cosine_topk_bruteforce",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "ann_recall_at_k",
-    "embedding_neardup_cosine",
-    "media_features",
-    "dedup_clusters",
-    "stratified_sample",
-    "dedup_lsh_verified",
-    "contamination_ngram",
-    "source_quality_rollup",
-    "ann_multiprobe_topk",
-    "ann_multiprobe_recall",
-    "ann_clustered_topk",
-    "ann_recall_clustered",
-    "dedup_apply",
-    "quality_filter_apply",
-    "token_topk",
-    "pack_sequences",
-    "pack_manifest",
-    "ivf_topk",
-    "ivf_recall",
-    "repetition_stats",
-    "pii_scrub",
-    "semantic_dedup_apply",
-    "segment_dedup_apply",
-    "kmeans_assign",
-    "dedup_cross_corpus",
-    "length_histogram",
-    "mix_sample",
-    "stream_dedup_exact",
-    "stream_sessionize",
-    "bm25_topk",
-    "tfidf_top_terms",
-    "perplexity_buckets",
-    "winnow_fingerprints",
-    "winnow_dup_spans",
-    "media_phash_neardup",
-    "corpus_pipeline_apply",
-    "decontaminate_apply",
-    "corpus_datasheet",
-    "pagerank_topk",
-    "hits_topk",
-    "bottomk_sample",
-    "ngram_lm_topk",
-    "events_asof_join",
-    "minhash_jaccard_est",
-    "pq_codes",
-    "pq_topk",
-    "pq_recall",
-    "dsir_weights",
-    "bpe_first_merges",
-    "bpe_merges",
-    "media_frame_sample",
-    # NOT benched (like the other crawl smokes): pagerank_crawl's cost is
-    # ~90% running the fixture crawl, which the crawl scaling section
-    # already measures at 4 orders of magnitude more pages
-]
+# The analytics suite is DERIVED from the driver registry (all_queries())
+# minus the crawl-driven smokes, so a new registry entry can never silently
+# miss the bench again (round-4 lesson: the gate instruments must keep up
+# with the surface). The crawl smokes' cost is ~90% running the fixture
+# crawl, which the crawl scaling section already measures at 4 orders of
+# magnitude more pages.
+BENCH_EXCLUDE = {
+    "crawl_discourse_spans",
+    "crawl_phpbb_files",
+    "crawl_corpus_quality",
+    "pagerank_crawl",
+    "recrawl_delta",
+    "stream_post_counts",
+}
+
+
+def bench_queries() -> list[str]:
+    from forum_dl_spark.operators import all_queries
+
+    return [n for n in all_queries() if n not in BENCH_EXCLUDE]
+
+
 # per-query sf override (round-3 ask #6, extended per round-4 ask #2/#3).
 # Measured basis (sf0.1 vs sf0.01 wall, BENCH/RESULTS.md r4 + r5 timing):
 # - dedup_ngram_jaccard: the LABELED exact all-pairs BASELINE (scale path =
@@ -147,6 +95,7 @@ QUERY_SF_OVERRIDE = {
     "dedup_ngram_jaccard": SMALL_SF_DIR,
     "dedup_apply": SMALL_SF_DIR,
     "dedup_clusters": SMALL_SF_DIR,
+    "dedup_clusters_star": SMALL_SF_DIR,
     "stream_dedup_exact": SMALL_SF_DIR,
     "stream_sessionize": SMALL_SF_DIR,
 }
@@ -259,7 +208,7 @@ def run_queries() -> dict[str, float]:
     # otherwise pays ~4s of one-time JIT that is not the query's cost
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").groupBy("l_returnflag").count().collect()
     out: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries():
         sf = QUERY_SF_OVERRIDE.get(name, SF_DIR)
         t0 = time.time()
         df = qs[name](spark, sf)

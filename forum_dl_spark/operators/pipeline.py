@@ -1156,7 +1156,7 @@ def _fit_nbq(spark: SparkSession, sf_dir: str) -> tuple:
         .collect()
     )
     total_pos = sum(npos for _, _, npos in hist)
-    cands = [hist[0][0] - 1] + [s for s, _, _ in hist]
+    cands = [hist[0][0] - 1] + [s for s, _, _ in hist] if hist else [0]
     best_ok, theta = -1, 0
     neg_le, pos_le = 0, 0  # counts with score <= θ as θ sweeps upward
     for th in cands:
