@@ -440,25 +440,18 @@ HAVING count(*) >= 2
 )
 
 
-def winnow_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPAN-level exact-substring dedup accounting (the Lee et al. 2022
-    'deduplicating training data' scrub, driven by the winnowing index):
-    every df-capped fingerprint whose hash also occurs in an EARLIER
-    document (min-doc_id owner keeps its text — the same keep-first rule
-    as every dedup_apply here) marks its k-gram char interval as
-    duplicated; overlapping/adjacent intervals are merged per document
-    (gaps-and-islands over the position-sorted spans), and the scrub is
-    reported as integer accounting for EVERY document: merged span count,
-    duplicated chars, kept chars, and the duplicated share in basis
-    points. Completes the dedup ladder: document-level (dedup_apply),
-    segment-level (segment_dedup_apply), span-level (this).
+def _winnow_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged duplicate-span intervals per document: every df-capped
+    fingerprint whose hash also occurs in an EARLIER document marks its
+    k-gram char interval (1-based, inclusive, over whitespace-normalized
+    lowercase text); overlapping/adjacent intervals merge via
+    gaps-and-islands over the position-sorted spans. Returns
+    (doc_id, s, e) — shared by winnow_scrub_stats (accounting) and
+    winnow_scrub_apply (text surgery).
 
-    Scale shape: the ownership aggregate is ONE fp-keyed exchange over the
-    PERSISTED winnowing memo (~2/(w+1) of k-gram rows — selection happened
-    before any shuffle); marked spans join back on fp (df-capped, fan-out
-    <= MAXDF per hash), and the island merge is one doc_id-keyed window —
-    no all-pairs, no global sort anywhere.
-    """
+    Scale shape: ONE fp-keyed ownership exchange over the PERSISTED
+    winnowing memo, a df-capped fp join back (fan-out <= MAXDF per hash),
+    one doc_id-keyed window — no all-pairs, no global sort."""
     from pyspark.sql import Window
 
     fps = _winnow_fps_cached(spark, sf_dir)
@@ -490,14 +483,33 @@ def winnow_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "isl",
         F.sum("ni").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    perdoc = (
-        iv.groupBy("doc_id", "isl")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
-        )
+    return iv.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+
+
+def winnow_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level exact-substring dedup accounting (the Lee et al. 2022
+    'deduplicating training data' scrub, driven by the winnowing index):
+    every df-capped fingerprint whose hash also occurs in an EARLIER
+    document (min-doc_id owner keeps its text — the same keep-first rule
+    as every dedup_apply here) marks its k-gram char interval as
+    duplicated; overlapping/adjacent intervals are merged per document
+    (gaps-and-islands over the position-sorted spans), and the scrub is
+    reported as integer accounting for EVERY document: merged span count,
+    duplicated chars, kept chars, and the duplicated share in basis
+    points. Completes the dedup ladder: document-level (dedup_apply),
+    segment-level (segment_dedup_apply), span-level (this).
+
+    Scale shape: the ownership aggregate is ONE fp-keyed exchange over the
+    PERSISTED winnowing memo (~2/(w+1) of k-gram rows — selection happened
+    before any shuffle); marked spans join back on fp (df-capped, fan-out
+    <= MAXDF per hash), and the island merge is one doc_id-keyed window —
+    no all-pairs, no global sort anywhere.
+    """
+    perdoc = _winnow_islands(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
     )
     norm = _docs(spark, sf_dir).select(
         "doc_id",
@@ -522,7 +534,9 @@ def winnow_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-WINNOW_SCRUB_SQL = (
+# shared CTE chain: winnowing selection -> ownership -> merged islands
+# (consumed by both the stats accounting and the apply text surgery)
+_WINNOW_ISL_SQL_PREFIX = (
     "WITH wfp AS (" + WINNOW_FP_SQL.strip() + "),\n"
     + rf"""
 fps AS (SELECT DISTINCT doc_id, pos, fp FROM wfp),
@@ -553,11 +567,19 @@ isl AS (
          AS g
   FROM flagged
 ),
+islands AS (
+  SELECT doc_id, g, min(s) AS s, max(e) AS e
+  FROM isl GROUP BY doc_id, g
+)"""
+)
+
+WINNOW_SCRUB_SQL = (
+    _WINNOW_ISL_SQL_PREFIX
+    + r""",
 perdoc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
          CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
-  FROM (SELECT doc_id, g, min(s) AS s, max(e) AS e
-        FROM isl GROUP BY doc_id, g)
+  FROM islands
   GROUP BY doc_id
 ),
 norm2 AS (
@@ -577,6 +599,99 @@ FROM norm2 n LEFT JOIN perdoc p USING (doc_id)
 )
 
 
+def winnow_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbed-corpus EMIT — the text surgery the accounting exists for
+    (Lee et al. 2022 §4: cut the later copies of duplicated spans, keep
+    the first): every document's normalized text is reconstructed with
+    its merged duplicate islands removed, by folding the position-sorted
+    island array through one ``aggregate`` expression that concatenates
+    the inter-island gaps. Owners and unique documents pass through
+    unchanged. Returns (doc_id, n_cut, kept_chars, kept_text).
+
+    kept_chars is computed ARITHMETICALLY here (normalized length minus
+    island mass) while the DuckDB oracle computes it as
+    length(kept_text) of its independently-assembled string — the two
+    agree only if the surgery itself is correct on both sides, so the
+    driver's value-hash doubles as a reconstruction invariant.
+
+    Scale shape: islands aggregate doc-keyed (one exchange over interval
+    rows — dup docs only, ≪ corpus), then ONE doc_id join into the
+    documents scan; the fold is a per-row codegen expression, no explode,
+    no per-row Python. Text moves through exactly one join — the same
+    shape as every other EMIT here."""
+    isl = _winnow_islands(spark, sf_dir).groupBy("doc_id").agg(
+        F.expr("sort_array(collect_list(struct(s, e)))").alias("iv")
+    )
+    norm = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))").alias(
+            "nt"
+        ),
+    )
+    rec = (
+        norm.join(isl, "doc_id", "left")
+        .withColumn("iv", F.expr("coalesce(iv, array())"))
+    )
+    kept = (
+        "aggregate(iv,"
+        " struct(cast(1 as bigint) as p, cast('' as string) as acc),"
+        " (st, x) -> struct(x.e + cast(1 as bigint) as p,"
+        " concat(st.acc, substring(nt, cast(st.p as int),"
+        " cast(x.s - st.p as int))) as acc),"
+        " st -> concat(st.acc, substring(nt, cast(st.p as int),"
+        " cast(length(nt) - st.p + 1 as int))))"
+    )
+    return rec.select(
+        "doc_id",
+        F.expr("cast(size(iv) as bigint)").alias("n_cut"),
+        F.expr(
+            "cast(length(nt) as bigint)"
+            " - aggregate(iv, cast(0 as bigint), (a, x) -> a + x.e - x.s + 1)"
+        ).alias("kept_chars"),
+        F.expr(kept).alias("kept_text"),
+    )
+
+
+WINNOW_SCRUB_APPLY_SQL = (
+    _WINNOW_ISL_SQL_PREFIX
+    + r""",
+norm3 AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+gaps AS (
+  SELECT doc_id,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+         s - 1 AS ge
+  FROM islands
+  UNION ALL
+  SELECT doc_id, max(e) + 1 AS gs, NULL AS ge
+  FROM islands GROUP BY doc_id
+),
+pieces AS (
+  SELECT g.doc_id, g.gs,
+         substr(n.nt, CAST(g.gs AS BIGINT),
+                CASE WHEN g.ge IS NULL
+                     THEN greatest(length(n.nt) - g.gs + 1, 0)
+                     ELSE g.ge - g.gs + 1 END) AS piece
+  FROM gaps g JOIN norm3 n USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY gs) AS kept_text
+  FROM pieces GROUP BY doc_id
+),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM islands GROUP BY doc_id)
+SELECT n.doc_id,
+       COALESCE(c.n, 0) AS n_cut,
+       CAST(length(COALESCE(k.kept_text, n.nt)) AS BIGINT) AS kept_chars,
+       COALESCE(k.kept_text, n.nt) AS kept_text
+FROM norm3 n
+LEFT JOIN kept k USING (doc_id)
+LEFT JOIN cnt c USING (doc_id)
+"""
+)
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
     "tfidf_top_terms": tfidf_top_terms,
@@ -584,6 +699,7 @@ QUERIES = {
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_dup_spans": winnow_dup_spans,
     "winnow_scrub_stats": winnow_scrub_stats,
+    "winnow_scrub_apply": winnow_scrub_apply,
 }
 
 ORACLES = {
@@ -593,4 +709,5 @@ ORACLES = {
     "winnow_fingerprints": WINNOW_FP_SQL,
     "winnow_dup_spans": WINNOW_DUP_SQL,
     "winnow_scrub_stats": WINNOW_SCRUB_SQL,
+    "winnow_scrub_apply": WINNOW_SCRUB_APPLY_SQL,
 }

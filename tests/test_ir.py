@@ -215,3 +215,50 @@ def test_winnow_scrub_stats_no_global_sort(spark):
     plan = _plan(df)
     assert "Exchange rangepartitioning" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_winnow_scrub_apply_planted_span(spark, tmp_path):
+    """Text surgery on a planted shared run: the owner's normalized text
+    survives byte-identical; the later copy's kept_text is its normalized
+    text with one contiguous chunk (the shared run ± k-gram slack) cut
+    out — prefix/suffix far from the run are intact; and for EVERY row
+    the reported kept_chars equals the actual reconstructed length."""
+    from forum_dl_spark.operators.ir import WINNOW_K, winnow_scrub_apply
+
+    shared = "shared duplicated span of text that winnowing must detect here"
+    texts = [
+        "alpha beta gamma delta epsilon zeta " + shared + " eta theta iota",
+        "one two three four five six seven " + shared + " eight nine ten",
+        "completely unrelated third document with no overlap at all kappa",
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+
+    rows = {r["doc_id"]: r for r in winnow_scrub_apply(spark, sf).collect()}
+    assert set(rows) == {0, 1, 2}
+    for i, r in rows.items():
+        assert r["kept_chars"] == len(r["kept_text"]), r
+    norm = [" ".join(t.lower().split()) for t in texts]
+    assert rows[0]["n_cut"] == 0 and rows[0]["kept_text"] == norm[0]
+    assert rows[2]["n_cut"] == 0 and rows[2]["kept_text"] == norm[2]
+    r1 = rows[1]
+    assert r1["n_cut"] >= 1
+    cut = len(norm[1]) - r1["kept_chars"]
+    assert WINNOW_K <= cut <= len(shared) + WINNOW_K
+    # the prefix is untouched (a k-gram straddling prefix+run differs
+    # between docs, so it is never shared); the suffix may lose up to
+    # K-1 chars to a selected k-gram that starts inside the run
+    assert r1["kept_text"].startswith("one two three")
+    assert r1["kept_text"].endswith("ten")
+    assert shared not in r1["kept_text"]
+
+
+def test_winnow_scrub_apply_plan_shape(spark):
+    """The surgery plan: no global sort, no cartesian product, and the
+    documents relation moves through exactly ONE join (islands back into
+    the corpus scan) — the fold is a per-row expression, not an explode."""
+    from forum_dl_spark.operators.ir import winnow_scrub_apply
+
+    df = winnow_scrub_apply(spark, SF)
+    plan = _plan(df)
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
