@@ -15,13 +15,14 @@ Modules:
 - corpus:      crawl→pipeline bridge (interleaved spans → flat documents)
 - ir:          BM25 / tf-idf keywords / perplexity buckets / winnowing
 - graph:       link-graph analytics (integer-exact iterative PageRank)
+- textstats:   chunking, cardinality sketch, PMI, Zipf histogram, fertility
 """
 
 from . import (corpus, dedup, graph, ir, multimodal, pipeline, relational,
-               similarity, streamq, textops)
+               similarity, streamq, textops, textstats)
 
 _MODULES = [relational, dedup, textops, similarity, multimodal, pipeline,
-            streamq, corpus, ir, graph]
+            streamq, corpus, ir, graph, textstats]
 
 
 def all_queries():

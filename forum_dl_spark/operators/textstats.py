@@ -1,0 +1,452 @@
+"""Corpus-statistics / chunking operators over the ``documents`` table.
+
+The second text-analysis batch (the first lives in ``textops``): the
+operators a training-data pipeline runs AFTER the per-document filters —
+chunking for context-window / RAG ingestion, cardinality sketching for
+shingle-space sizing, collocation mining (PMI), vocabulary shape audits
+(Zipf/Heaps), and tokenizer-fertility evaluation of the trained BPE.
+
+Every operator is integer-exact or shared-regex deterministic and carries
+a DuckDB oracle with identical column names and arithmetic.  All plans are
+scale-shaped: chunking is a zero-exchange row-expanding projection; the
+sketch and histogram are map-side-combined hash aggregates; PMI broadcasts
+the vocabulary-sized unigram relation; fertility reuses the session-memoized
+trained tokenizer as literal plan state (no retraining, no join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TOK = r"filter(split(lower(text), '\\s+'), x -> x != '')"
+_TOK_DUCK = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- document chunking ---------------------------------------------------------
+
+CHUNK_WINDOW = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # tokens between chunk starts (overlap = WINDOW - STRIDE)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with stride — the context-window /
+    RAG-ingestion splitter (every token is covered; consecutive chunks
+    overlap by ``CHUNK_WINDOW - CHUNK_STRIDE`` tokens; the last chunk may
+    be short).  Chunk count = 1 + ceil(max(0, n - W) / S), integer-exact
+    in both engines.
+
+    Scale shape: tokenize once, compute the chunk-start sequence per row,
+    explode, slice — a ZERO-exchange row-expanding narrow projection that
+    inherits the corpus partitioning (the ideal 100 TB operator, same
+    class as bpe_encode).  Plan-pinned exchange-free in
+    tests/test_textstats.py.
+    """
+    w, s = CHUNK_WINDOW, CHUNK_STRIDE
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.expr(_TOK).alias("w")).filter(F.size("w") >= 1)
+    nch = F.expr(
+        f"1 + case when size(w) > {w}"
+        f" then cast((size(w) - {w} + {s} - 1) div {s} as int) else 0 end"
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.col("w"),
+        F.explode(F.sequence(F.lit(0), nch - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * s + 1
+    take = F.least(F.lit(w), F.size("w") - start + 1)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        take.cast("long").alias("n_tokens_chunk"),
+        F.array_join(F.slice(F.col("w"), start, take), " ").alias("chunk_text"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_DUCK} AS w FROM documents
+),
+sized AS (
+  SELECT doc_id, w,
+         1 + CASE WHEN len(w) > {CHUNK_WINDOW}
+                  THEN (len(w) - {CHUNK_WINDOW} + {CHUNK_STRIDE} - 1)
+                       // {CHUNK_STRIDE}
+                  ELSE 0 END AS nch
+  FROM toks WHERE len(w) >= 1
+),
+exploded AS (
+  SELECT doc_id, w, unnest(generate_series(0, nch - 1)) AS chunk_id
+  FROM sized
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(least({CHUNK_WINDOW}, len(w) - (chunk_id * {CHUNK_STRIDE} + 1) + 1)
+            AS BIGINT) AS n_tokens_chunk,
+       array_to_string(
+         w[chunk_id * {CHUNK_STRIDE} + 1 :
+           chunk_id * {CHUNK_STRIDE}
+             + least({CHUNK_WINDOW},
+                     len(w) - (chunk_id * {CHUNK_STRIDE} + 1) + 1)],
+         ' ') AS chunk_text
+FROM exploded
+"""
+
+
+# --- distinct-cardinality sketch -----------------------------------------------
+#
+# Bucketed-minimum KMV-family estimator (Bar-Yossef et al. 2002 / the
+# stochastic-averaging idea behind HLL, Flajolet et al. 2007) over the
+# per-source 3-gram shingle space: split the 32-bit hash universe into M
+# buckets, keep the MINIMUM hash per bucket, estimate
+# n ≈ M_present² · 2³² / (Σ mins + M_present).  Everything is integer
+# arithmetic on the shared md5→int32 hash, so Spark and DuckDB agree bit
+# for bit — the oracle recomputes estimate AND exact and the value-hash
+# doubles as an estimator audit (same design as ann_recall / pq_recall).
+
+SKETCH_BUCKETS = 64
+_H32_SPARK = "cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)"
+_H32_DUCK = "cast(concat('0x', substring(md5(sh), 1, 8)) as bigint)"
+_H32_BASE = 1 << 32
+
+
+def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct 3-gram-shingle cardinality: exact count next to
+    the bucketed-min sketch estimate and its error in basis points.
+
+    Scale shape: the shingle build is a narrow row-expanding projection;
+    the hash-distinct is the one heavy exchange (map-side combined); the
+    bucket-min and per-source rollups are partial-aggregated ``min``/
+    ``sum`` (64 rows per source survive the map side), and the exact-vs-
+    estimate join is a broadcast on the tiny source dimension.  At 100 TB
+    only the sketch side would ship (drop the exact branch); it is kept
+    here because the operator IS the audit.
+    """
+    d = _docs(spark, sf_dir)
+    sh = (
+        d.select("source", F.expr(_TOK).alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat_ws(' ', element_at(t, i),"
+                    " element_at(t, i + 1), element_at(t, i + 2)))"
+                )
+            ).alias("sh"),
+        )
+    )
+    hashed = sh.select(
+        "source", F.expr(_H32_SPARK).alias("h")
+    ).distinct()
+    exact = hashed.groupBy("source").agg(
+        F.count("*").alias("exact_distinct")
+    )
+    mins = (
+        hashed.withColumn("bucket", F.col("h") % SKETCH_BUCKETS)
+        .groupBy("source", "bucket")
+        .agg(F.min("h").alias("mn"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("mn").alias("sum_mins"),
+        )
+    )
+    est = F.expr(
+        f"cast((n_buckets * n_buckets * {_H32_BASE}L)"
+        " div (sum_mins + n_buckets) as bigint)"
+    )
+    return (
+        mins.join(F.broadcast(exact), "source")
+        .withColumn("est_distinct", est)
+        .select(
+            "source",
+            "exact_distinct",
+            "est_distinct",
+            F.expr(
+                "cast(abs(est_distinct - exact_distinct) * 10000"
+                " div exact_distinct as bigint)"
+            ).alias("err_bp"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+        )
+    )
+
+
+DISTINCT_SKETCH_SQL = rf"""
+WITH sh AS (
+  SELECT source,
+         unnest([concat(t[i], ' ', t[i + 1], ' ', t[i + 2])
+                 for i in generate_series(1, len(t) - 2)]) AS sh
+  FROM (SELECT source, {_TOK_DUCK} AS t FROM documents)
+  WHERE len(t) >= 3
+),
+hashed AS (
+  SELECT DISTINCT source, {_H32_DUCK} AS h FROM sh
+),
+exact AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+  FROM hashed GROUP BY source
+),
+mins AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(mn) AS BIGINT) AS sum_mins
+  FROM (SELECT source, h % {SKETCH_BUCKETS} AS bucket, min(h) AS mn
+        FROM hashed GROUP BY 1, 2)
+  GROUP BY source
+)
+SELECT source, exact_distinct,
+       CAST((n_buckets * n_buckets * {_H32_BASE})
+            // (sum_mins + n_buckets) AS BIGINT) AS est_distinct,
+       CAST(abs((n_buckets * n_buckets * {_H32_BASE})
+                // (sum_mins + n_buckets) - exact_distinct) * 10000
+            // exact_distinct AS BIGINT) AS err_bp,
+       n_buckets
+FROM mins JOIN exact USING (source)
+"""
+
+
+# --- PMI collocations ------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PMI_TOP_K`` word bigrams by pointwise mutual information —
+    collocation mining (Church & Hanks 1990), the phrase-detection step of
+    a tokenizer / phrase-vocab pipeline.  PMI is kept in INTEGER basis
+    points of the probability ratio, pmi_bp = (10000·c_xy·N) div
+    (c_x·c_y), so both engines rank identically (at real scale you would
+    let this be a double; exactness is the point of the gate).
+
+    Scale shape: bigram and unigram counts are each ONE map-side-combined
+    hash aggregate over the same narrow tokenization; the unigram relation
+    is vocabulary-sized and joined twice via BROADCAST (plan-pinned: no
+    SortMergeJoin); N is a 1-row broadcast; the final top-k is a
+    TakeOrdered, not a global sort.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    words = d.select(F.expr(_TOK).alias("t"))
+    uni = words.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c")
+    )
+    n_tot = uni.agg(F.sum("c").alias("n_total"))
+    bi = (
+        words.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) as lhs,"
+                    " element_at(t, i + 1) as rhs))"
+                )
+            ).alias("p")
+        )
+        .select("p.lhs", "p.rhs")
+        .groupBy("lhs", "rhs")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= PMI_MIN_COUNT)
+    )
+    scored = (
+        bi.join(F.broadcast(uni.withColumnRenamed("tok", "lhs")
+                            .withColumnRenamed("c", "c_lhs")), "lhs")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "rhs")
+                          .withColumnRenamed("c", "c_rhs")), "rhs")
+        .join(F.broadcast(n_tot))
+        .select(
+            F.concat_ws(" ", "lhs", "rhs").alias("gram"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr(
+                "cast((10000 * cnt * n_total) div (c_lhs * c_rhs) as bigint)"
+            ).alias("pmi_bp"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi_bp"), F.asc("gram")).limit(PMI_TOP_K)
+    rank_w = Window.orderBy(F.desc("pmi_bp"), F.asc("gram"))
+    return top.withColumn("rank", F.row_number().over(rank_w)).select(
+        "gram", "cnt", "pmi_bp", "rank"
+    )
+
+
+PMI_TOP_PAIRS_SQL = rf"""
+WITH words AS (SELECT {_TOK_DUCK} AS t FROM documents),
+uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(t) AS tok FROM words) GROUP BY tok
+),
+ntot AS (SELECT sum(c) AS n_total FROM uni),
+bi AS (
+  SELECT lhs, rhs, count(*) AS cnt
+  FROM (SELECT unnest([struct_pack(lhs := t[i], rhs := t[i + 1])
+                       for i in generate_series(1, len(t) - 1)], recursive := true)
+        FROM words WHERE len(t) >= 2)
+  GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COUNT}
+),
+scored AS (
+  SELECT concat(lhs, ' ', rhs) AS gram,
+         CAST(cnt AS BIGINT) AS cnt,
+         CAST((10000 * cnt * n_total) // (ul.c * ur.c) AS BIGINT) AS pmi_bp
+  FROM bi
+  JOIN uni ul ON ul.tok = bi.lhs
+  JOIN uni ur ON ur.tok = bi.rhs
+  CROSS JOIN ntot
+)
+SELECT gram, cnt, pmi_bp, rank FROM (
+  SELECT gram, cnt, pmi_bp,
+         row_number() OVER (ORDER BY pmi_bp DESC, gram ASC) AS rank
+  FROM scored
+) WHERE rank <= {PMI_TOP_K}
+"""
+
+
+# --- Zipf / vocabulary-shape histogram -------------------------------------------
+
+
+def zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary shape audit: token types and token mass per
+    floor(log2(frequency)) bucket — the no-global-sort way to read a
+    Zipf/Heaps curve (a straight-ish line of n_types per doubling bucket
+    is the Zipf signature; the bucket-0 row is the hapax count that
+    drives Heaps growth).  Integer-exact via the binary-string-length
+    floor-log2 idiom shared with perplexity_buckets.
+
+    Scale shape: two map-side-combined hash aggregates (token → count,
+    bucket → rollup) and nothing else — no window, no sort, no join; the
+    second exchange carries at most ~32 rows per map task.
+    """
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(F.expr(_TOK)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.select(
+            F.expr("cast(length(bin(cnt)) - 1 as bigint)").alias("bucket"),
+            "cnt",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+    )
+
+
+ZIPF_HISTOGRAM_SQL = rf"""
+WITH counts AS (
+  SELECT tok, count(*) AS cnt
+  FROM (SELECT unnest({_TOK_DUCK}) AS tok FROM documents)
+  GROUP BY tok
+)
+SELECT CAST(length(printf('%b', cnt)) - 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens
+FROM counts GROUP BY 1
+"""
+
+
+# --- BPE tokenizer fertility ------------------------------------------------------
+
+
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit of the trained BPE, by language: tokens
+    per word and chars per token in integer basis points — the standard
+    multilingual-tokenizer equity metric (how many subwords a word costs
+    per language; Rust et al. 2021).  Reuses the session-memoized trained
+    merge table from ``textops._train_bpe``: in a gate/bench session the
+    tokenizer trains ONCE and bpe_merges / bpe_encode / pack_sequences_bpe
+    / this all share it.
+
+    Scale shape: encode is the same zero-exchange literal-``replace``
+    projection as bpe_encode; the only exchange is the final tiny
+    lang-keyed partial aggregate.
+    """
+    from .textops import _bpe_token_count_col, _bpe_words_col, _train_bpe
+
+    rules = _train_bpe(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    enc = d.withColumn("ws", _bpe_words_col()).select(
+        "lang",
+        F.expr("cast(size(ws) as bigint)").alias("n_words"),
+        F.expr("cast(length(concat_ws('', ws)) as bigint)").alias("n_chars"),
+        _bpe_token_count_col(rules).alias("n_tok"),
+    )
+    agg = enc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.sum("n_tok").alias("sum_tokens_bpe"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_words",
+        "sum_tokens_bpe",
+        F.expr(
+            "cast(case when sum_words > 0 then (10000 * sum_tokens_bpe)"
+            " div sum_words else 0 end as bigint)"
+        ).alias("fertility_bp"),
+        F.expr(
+            "cast(case when sum_tokens_bpe > 0 then (10000 * sum_chars)"
+            " div sum_tokens_bpe else 0 end as bigint)"
+        ).alias("cpt_e4"),
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    from .textops import BPE_MERGE_ROUNDS, _bpe_train_and_enc_ctes
+
+    last = f"e{BPE_MERGE_ROUNDS}"
+    return (
+        _bpe_train_and_enc_ctes(carry=", lang")
+        + f""",
+per_doc AS (
+  SELECT lang, n_words, n_chars,
+         CAST(length(s) - length(replace(s, '[', '')) AS BIGINT) AS n_tok
+  FROM {last}
+),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS sum_words,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tokens_bpe,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, sum_words, sum_tokens_bpe,
+       CAST(CASE WHEN sum_words > 0
+                 THEN (10000 * sum_tokens_bpe) // sum_words
+                 ELSE 0 END AS BIGINT) AS fertility_bp,
+       CAST(CASE WHEN sum_tokens_bpe > 0
+                 THEN (10000 * sum_chars) // sum_tokens_bpe
+                 ELSE 0 END AS BIGINT) AS cpt_e4
+FROM agg
+"""
+    )
+
+
+QUERIES = {
+    "chunk_documents": chunk_documents,
+    "distinct_sketch": distinct_sketch,
+    "pmi_top_pairs": pmi_top_pairs,
+    "zipf_histogram": zipf_histogram,
+    "bpe_fertility": bpe_fertility,
+}
+
+ORACLES = {
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "distinct_sketch": DISTINCT_SKETCH_SQL,
+    "pmi_top_pairs": PMI_TOP_PAIRS_SQL,
+    "zipf_histogram": ZIPF_HISTOGRAM_SQL,
+    "bpe_fertility": _bpe_fertility_sql(),
+}

@@ -1,0 +1,259 @@
+"""Plan + semantic pins for the corpus-statistics batch (operators/textstats).
+
+Oracle equality vs DuckDB is covered by test_operators_oracle.py (the
+registry is auto-parametrized); here we pin the plan SHAPES the module's
+docstrings claim and the semantics that a hash-equal oracle could still
+mask (e.g. chunk coverage/overlap invariants hold for every document, the
+sketch's exact branch matches an independent Python recount).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.01"
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(df) -> int:
+    s = _plan(df)
+    return s.count("Exchange hashpartitioning") + s.count(
+        "Exchange rangepartitioning"
+    )
+
+
+def _toks(text: str) -> list[str]:
+    return [w for w in re.split(r"\s+", text.lower()) if w]
+
+
+# --- plan pins -----------------------------------------------------------------
+
+
+def test_chunk_documents_zero_exchange(spark):
+    """Chunking is a row-expanding narrow projection: explode + slice over
+    the documents scan, NO shuffle anywhere, and the scan is pruned to the
+    two needed columns."""
+    from forum_dl_spark.operators.textstats import chunk_documents
+
+    df = chunk_documents(spark, SF)
+    assert _n_exchanges(df) == 0, _plan(df)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in _plan(df)
+
+
+def test_zipf_histogram_two_hash_aggregates(spark):
+    """Token count + bucket rollup: exactly two hash exchanges (each
+    map-side combined), no join, no sort."""
+    from forum_dl_spark.operators.textstats import zipf_histogram
+
+    df = zipf_histogram(spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_pmi_broadcasts_unigrams_no_smj(spark):
+    """The vocabulary-sized unigram relation joins via broadcast twice and
+    N via a 1-row broadcast — no SortMergeJoin; the top-k compiles to
+    TakeOrdered, not a global sort."""
+    from forum_dl_spark.operators.textstats import pmi_top_pairs
+
+    df = pmi_top_pairs(spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 3, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_distinct_sketch_broadcast_exact_join(spark):
+    """The exact-vs-estimate join is a broadcast on the tiny source
+    dimension (the exact branch exists only as the audit)."""
+    from forum_dl_spark.operators.textstats import distinct_sketch
+
+    df = distinct_sketch(spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_fertility_single_exchange_literal_rules(spark):
+    """With the trained rules inlined as plan literals, the encode side is
+    map-only; the ONLY exchange is the lang-keyed partial aggregate, and
+    the plan contains no join."""
+    from forum_dl_spark.operators.textstats import bpe_fertility
+
+    df = bpe_fertility(spark, SF)
+    plan = _plan(df)
+    assert _n_exchanges(df) == 1, plan
+    assert "Join" not in plan, plan
+
+
+# --- semantic pins ---------------------------------------------------------------
+
+
+def test_chunk_coverage_and_overlap_invariants(spark):
+    """For EVERY document: chunk 0 starts at token 1; consecutive starts
+    differ by the stride; every token is covered; re-concatenating chunk 0
+    plus each chunk's non-overlapping tail reconstructs the token stream
+    exactly; and the chunk count matches the closed form."""
+    from forum_dl_spark.operators.textstats import (
+        CHUNK_STRIDE,
+        CHUNK_WINDOW,
+        chunk_documents,
+    )
+
+    rows = chunk_documents(spark, SF_SMALL).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+
+    tab = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pylist()
+    docs = {d["doc_id"]: _toks(d["text"]) for d in tab}
+    n_with_tokens = sum(1 for t in docs.values() if t)
+    assert set(by_doc) == {d for d, t in docs.items() if t}
+    assert n_with_tokens > 0
+
+    w, s = CHUNK_WINDOW, CHUNK_STRIDE
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id]
+        n = len(toks)
+        expect_nch = 1 + (0 if n <= w else -(-(n - w) // s))
+        assert sorted(chunks) == list(range(expect_nch)), doc_id
+        rebuilt: list[str] = []
+        for cid in range(expect_nch):
+            r = chunks[cid]
+            start = cid * s
+            piece = toks[start : start + w]
+            assert r.chunk_text == " ".join(piece), (doc_id, cid)
+            assert r.n_tokens_chunk == len(piece), (doc_id, cid)
+            rebuilt.extend(piece if cid == 0 else piece[w - s :] if n > w else [])
+        if n <= w:
+            rebuilt = toks[:]
+        assert rebuilt == toks, doc_id
+
+
+def test_distinct_sketch_exact_branch_matches_python(spark):
+    """The exact_distinct column equals an independent pure-Python distinct
+    count of the md5-int32 3-gram-shingle hashes, and err_bp is the integer
+    basis-point error of est vs exact."""
+    from forum_dl_spark.operators.textstats import distinct_sketch
+
+    rows = {r.source: r for r in distinct_sketch(spark, SF_SMALL).collect()}
+    tab = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pylist()
+    seen: dict[str, set[int]] = {}
+    for d in tab:
+        t = _toks(d["text"])
+        for i in range(len(t) - 2):
+            sh = " ".join(t[i : i + 3])
+            h = int(hashlib.md5(sh.encode()).hexdigest()[:8], 16)
+            seen.setdefault(d["source"], set()).add(h)
+    assert set(rows) == {s for s, v in seen.items() if v}
+    for src, r in rows.items():
+        assert r.exact_distinct == len(seen[src]), src
+        assert r.err_bp == abs(r.est_distinct - r.exact_distinct) * 10000 // (
+            r.exact_distinct
+        ), src
+        # sanity: the 64-bucket sketch should be within ~25% on these sizes
+        assert r.err_bp < 2500, (src, r)
+
+
+def test_pmi_scores_match_python(spark):
+    """pmi_bp and the rank order match a pure-Python recount of unigram /
+    bigram frequencies under the same integer formula."""
+    from forum_dl_spark.operators.textstats import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+        pmi_top_pairs,
+    )
+
+    tab = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pylist()
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    for d in tab:
+        t = _toks(d["text"])
+        for x in t:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    n_total = sum(uni.values())
+    scored = [
+        (f"{a} {b}", c, 10000 * c * n_total // (uni[a] * uni[b]))
+        for (a, b), c in bi.items()
+        if c >= PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    expect = [
+        (g, c, p, i + 1) for i, (g, c, p) in enumerate(scored[:PMI_TOP_K])
+    ]
+    got = [
+        (r.gram, r.cnt, r.pmi_bp, r.rank)
+        for r in pmi_top_pairs(spark, SF_SMALL).collect()
+    ]
+    assert sorted(got, key=lambda x: x[3]) == expect
+
+
+def test_zipf_histogram_totals_and_buckets(spark):
+    """Bucket = floor(log2(count)); the histogram's token mass sums to the
+    corpus token count and its type mass to the vocabulary size."""
+    from forum_dl_spark.operators.textstats import zipf_histogram
+
+    tab = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pylist()
+    uni: dict[str, int] = {}
+    for d in tab:
+        for x in _toks(d["text"]):
+            uni[x] = uni.get(x, 0) + 1
+    expect: dict[int, list[int]] = {}
+    for c in uni.values():
+        b = c.bit_length() - 1
+        agg = expect.setdefault(b, [0, 0])
+        agg[0] += 1
+        agg[1] += c
+    got = {r.bucket: [r.n_types, r.n_tokens] for r in
+           zipf_histogram(spark, SF_SMALL).collect()}
+    assert got == expect
+
+
+def test_bpe_fertility_consistent_with_bpe_encode(spark):
+    """Cross-operator consistency: bpe_fertility's per-lang sums equal
+    bpe_encode's per-doc counts aggregated by lang (same trained rules via
+    the session memo)."""
+    import pyspark.sql.functions as F
+
+    from forum_dl_spark.operators.textops import bpe_encode
+    from forum_dl_spark.operators.textstats import bpe_fertility
+
+    fert = {r.lang: r for r in bpe_fertility(spark, SF_SMALL).collect()}
+    enc = bpe_encode(spark, SF_SMALL)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    agg = {
+        r.lang: r
+        for r in enc.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("sum_words"),
+            F.sum("n_tokens_bpe").alias("sum_tokens_bpe"),
+        )
+        .collect()
+    }
+    assert set(fert) == set(agg)
+    for lang, r in fert.items():
+        a = agg[lang]
+        assert (r.n_docs, r.sum_words, r.sum_tokens_bpe) == (
+            a.n_docs,
+            a.sum_words,
+            a.sum_tokens_bpe,
+        ), lang
+        assert r.fertility_bp == 10000 * r.sum_tokens_bpe // r.sum_words
