@@ -46,8 +46,10 @@ BM25_B = 0.75
 BM25_TOPK = 10
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-``BM25_TOPK`` documents for the fixed query ``BM25_QUERY``.
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BM25-scored relation (doc_id, score) for ``BM25_QUERY`` —
+    shared verbatim between ``bm25_topk`` (top-k cut) and the RRF fusion's
+    lexical leg, so the two can never drift.
 
     Lucene BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (clamped positive —
     the classic Robertson idf goes negative once df > N/2, which this tiny
@@ -96,8 +98,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("s"), 4).alias("score"))
     )
+    return scored
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``BM25_TOPK`` documents for the fixed query ``BM25_QUERY`` —
+    the orderBy().limit() cut (TakeOrdered, not a global sort) over the
+    shared scored relation."""
     return (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_TOPK)
         .select("doc_id", "score")
     )
@@ -105,8 +115,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_Q_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
-BM25_SQL = rf"""
-WITH toks AS (
+# The WITH body up to `scored` — shared verbatim by BM25_SQL and the RRF
+# oracle (anti-drift, same pattern as the winnowing / BPE CTE reuse).
+_BM25_CTES = rf"""toks AS (
   SELECT doc_id, {_TOK_DUCK} AS t FROM documents
 ),
 tf AS (
@@ -129,9 +140,144 @@ scored AS (
          ), 4) AS score
   FROM tf JOIN dft USING (term) CROSS JOIN stats
   GROUP BY doc_id
-)
+)"""
+
+BM25_SQL = rf"""
+WITH {_BM25_CTES}
 SELECT doc_id, score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
+# --- hybrid retrieval: reciprocal-rank fusion ----------------------------------
+
+RRF_K = 60          # the standard RRF damping constant (Cormack et al. 2009)
+RRF_LEG_N = 50      # depth of each leg's ranked list entering the fusion
+RRF_TOPK = 10
+RRF_SCALE = 1_000_000   # contributions kept integer: SCALE div (K + rank)
+RRF_DENSE_QUERY = 0     # embeddings vec_id used as the dense query vector
+
+
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion (Cormack,
+    Clarke & Buettcher 2009): fuse the BM25 ranking of ``BM25_QUERY`` over
+    ``documents`` with the cosine ranking of query vector
+    ``RRF_DENSE_QUERY`` over ``embeddings`` (the two tables share the
+    0..N-1 id space), score = Σ_legs SCALE div (K + rank) kept in integers
+    so both engines fuse identically.  A doc absent from a leg's top
+    ``RRF_LEG_N`` contributes 0 from that leg (rank reported as 0) — the
+    standard top-N-list fusion semantics.
+
+    Scale shape: each leg is already scale-shaped on its own (BM25:
+    broadcast corpus stats + TakeOrdered; dense: 1-row query vector
+    broadcast into a narrow cosine projection + TakeOrdered — at real
+    scale this leg is where the ANN/IVF index drops in); the fusion itself
+    touches only the two ≤``RRF_LEG_N``-row lists, so its union + groupBy
+    exchange is constant-sized regardless of corpus size.  No
+    SortMergeJoin anywhere (plan-pinned).
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _SPARK_DOT, _SPARK_NORM_A, _SPARK_NORM_B, _emb
+
+    lex_top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_LEG_N)
+    )
+    w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lex_top.withColumn("r", F.row_number().over(w_lex)).select(
+        "doc_id", "r"
+    )
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == RRF_DENSE_QUERY).select("v").alias("a")
+    c = (
+        e.filter(F.col("vec_id") != RRF_DENSE_QUERY)
+        .select(F.col("vec_id").alias("doc_id"), "v")
+        .alias("b")
+    )
+    dense_top = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cs",
+            F.round(
+                F.expr(f"{_SPARK_DOT} / ({_SPARK_NORM_A} * {_SPARK_NORM_B})"),
+                6,
+            ),
+        )
+        .orderBy(F.desc("cs"), F.asc("doc_id"))
+        .limit(RRF_LEG_N)
+    )
+    w_den = Window.orderBy(F.desc("cs"), F.asc("doc_id"))
+    dense = dense_top.withColumn("r", F.row_number().over(w_den)).select(
+        "doc_id", "r"
+    )
+
+    fused = (
+        lex.select(
+            "doc_id",
+            "r",
+            F.col("r").alias("r_lex"),
+            F.lit(0).alias("r_dense"),
+        )
+        .unionByName(
+            dense.select(
+                "doc_id",
+                "r",
+                F.lit(0).alias("r_lex"),
+                F.col("r").alias("r_dense"),
+            )
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("r_lex").cast("long").alias("r_lex"),
+            F.max("r_dense").cast("long").alias("r_dense"),
+            F.expr(
+                f"cast(sum({RRF_SCALE} div ({RRF_K} + r)) as bigint)"
+            ).alias("rrf_e6"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+        .select("doc_id", "r_lex", "r_dense", "rrf_e6")
+    )
+
+
+RRF_SQL = rf"""
+WITH {_BM25_CTES},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM (SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id ASC LIMIT {RRF_LEG_N})
+),
+emb AS (
+  SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+),
+dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS r
+  FROM (
+    SELECT b.vec_id AS doc_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cs
+    FROM emb a JOIN emb b
+      ON a.vec_id = {RRF_DENSE_QUERY} AND b.vec_id != {RRF_DENSE_QUERY}
+    ORDER BY cs DESC, doc_id ASC LIMIT {RRF_LEG_N}
+  )
+),
+fused AS (
+  SELECT doc_id,
+         CAST(max(r_lex) AS BIGINT) AS r_lex,
+         CAST(max(r_dense) AS BIGINT) AS r_dense,
+         CAST(sum({RRF_SCALE} // ({RRF_K} + r)) AS BIGINT) AS rrf_e6
+  FROM (
+    SELECT doc_id, r, r AS r_lex, 0 AS r_dense FROM lex
+    UNION ALL
+    SELECT doc_id, r, 0 AS r_lex, r AS r_dense FROM dense
+  ) GROUP BY doc_id
+)
+SELECT doc_id, r_lex, r_dense, rrf_e6 FROM fused
+ORDER BY rrf_e6 DESC, doc_id ASC LIMIT {RRF_TOPK}
 """
 
 
@@ -694,6 +840,7 @@ LEFT JOIN cnt c USING (doc_id)
 
 QUERIES = {
     "bm25_topk": bm25_topk,
+    "rrf_hybrid_topk": rrf_hybrid_topk,
     "tfidf_top_terms": tfidf_top_terms,
     "perplexity_buckets": perplexity_buckets,
     "winnow_fingerprints": winnow_fingerprints,
@@ -704,6 +851,7 @@ QUERIES = {
 
 ORACLES = {
     "bm25_topk": BM25_SQL,
+    "rrf_hybrid_topk": RRF_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "perplexity_buckets": PERPLEXITY_SQL,
     "winnow_fingerprints": WINNOW_FP_SQL,

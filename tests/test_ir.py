@@ -262,3 +262,78 @@ def test_winnow_scrub_apply_plan_shape(spark):
     plan = _plan(df)
     assert "Exchange rangepartitioning" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rrf_no_smj_and_take_ordered(spark):
+    """RRF fusion plan shape: both legs' stat/query relations broadcast (no
+    SortMergeJoin anywhere), the dense leg's 1-row query vector enters via
+    BroadcastNestedLoopJoin, and the final top-k is TakeOrdered."""
+    from forum_dl_spark.operators.ir import rrf_hybrid_topk
+
+    plan = _plan(rrf_hybrid_topk(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rrf_fusion_matches_python_recombination(spark):
+    """Semantic pin: collecting the two legs independently (BM25 scored
+    relation + brute cosine for the dense query) and fusing them in pure
+    Python under the integer RRF formula reproduces the operator's output
+    exactly — ranks, contributions, ordering, and the absent-leg zeros."""
+    from forum_dl_spark.operators.ir import (
+        RRF_DENSE_QUERY,
+        RRF_K,
+        RRF_LEG_N,
+        RRF_SCALE,
+        RRF_TOPK,
+        _bm25_scored,
+        rrf_hybrid_topk,
+    )
+
+    lex_rows = _bm25_scored(spark, SF).collect()
+    lex_sorted = sorted(lex_rows, key=lambda r: (-r.score, r.doc_id))
+    lex_rank = {r.doc_id: i + 1 for i, r in enumerate(lex_sorted[:RRF_LEG_N])}
+
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    q = emb[RRF_DENSE_QUERY]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(dot / (na * nb), 6)
+
+    dense_sorted = sorted(
+        ((vid, cos(q, v)) for vid, v in emb.items() if vid != RRF_DENSE_QUERY),
+        key=lambda t: (-t[1], t[0]),
+    )
+    dense_rank = {vid: i + 1 for i, (vid, _) in
+                  enumerate(dense_sorted[:RRF_LEG_N])}
+
+    fused = {}
+    for d, r in lex_rank.items():
+        e = fused.setdefault(d, [0, 0, 0])
+        e[0] = r
+        e[2] += RRF_SCALE // (RRF_K + r)
+    for d, r in dense_rank.items():
+        e = fused.setdefault(d, [0, 0, 0])
+        e[1] = r
+        e[2] += RRF_SCALE // (RRF_K + r)
+    expect = sorted(
+        ((d, rl, rd, s) for d, (rl, rd, s) in fused.items()),
+        key=lambda t: (-t[3], t[0]),
+    )[:RRF_TOPK]
+
+    got = [
+        (r.doc_id, r.r_lex, r.r_dense, r.rrf_e6)
+        for r in rrf_hybrid_topk(spark, SF).collect()
+    ]
+    assert got == expect
+    # both legs actually contribute docs the other leg missed
+    assert any(rl == 0 for _, rl, _, _ in got) or any(
+        rd == 0 for _, _, rd, _ in got
+    )
