@@ -435,12 +435,186 @@ FROM agg
     )
 
 
+# --- Heaps-law vocabulary-growth curve ---------------------------------------------
+
+
+HEAPS_DECILES = 10
+
+
+def heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth across corpus prefixes (Heaps' law audit): how
+    many NEW token types each corpus decile introduces, and the cumulative
+    vocabulary after it.  The one-pass trick: the vocabulary of prefix P is
+    the number of types whose FIRST occurrence (min doc_id — doc_ids are
+    dense 0..N-1, so doc_id order IS corpus order) lands in P, so a single
+    min-aggregate replaces materializing every prefix.
+
+    Scale shape: one (tok → min doc_id) map-side-combined hash aggregate,
+    one ≤``HEAPS_DECILES``-row rollup, and a cumulative window over those
+    ≤10 rows (single-partition by construction — constant-sized, not a
+    data-scale sort).  Deciles introducing zero new types are omitted by
+    both engines identically.
+
+    Honesty note: on the shared-vocabulary synthetic corpus the whole
+    vocabulary first occurs in decile 0, so the gate result is a single
+    row — the mechanism (first-occurrence assignment + cumulative sum) is
+    pinned against a pure-Python scan in tests/test_textstats.py, where a
+    Heaps-shaped corpus would populate every decile.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n = d.agg(F.count("*").alias("n_docs"))
+    first = (
+        d.select("doc_id", F.explode(F.expr(_TOK)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per = (
+        first.join(F.broadcast(n))
+        .select(
+            F.expr(
+                f"cast((first_doc * {HEAPS_DECILES}) div n_docs as bigint)"
+            ).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_new_types"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "n_new_types",
+        F.sum("n_new_types").over(w).cast("long").alias("n_types_cum"),
+    )
+
+
+HEAPS_CURVE_SQL = rf"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+first AS (
+  SELECT tok, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest({_TOK_DUCK}) AS tok FROM documents)
+  GROUP BY tok
+),
+per AS (
+  SELECT CAST((first_doc * {HEAPS_DECILES}) // n_docs AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_new_types
+  FROM first CROSS JOIN n
+  GROUP BY 1
+)
+SELECT decile, n_new_types,
+       CAST(sum(n_new_types) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS n_types_cum
+FROM per
+"""
+
+
+# --- split-half vocabulary drift ----------------------------------------------------
+
+DRIFT_MIN_COUNT = 10
+DRIFT_TOP_K = 20
+_HALF_SPARK = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+    " as bigint) % 2"
+)
+_HALF_DUCK = (
+    "cast(concat('0x', substring(md5(cast(doc_id as varchar)), 1, 8))"
+    " as bigint) % 2"
+)
+
+
+def vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between two md5-split corpus halves (the
+    same split idiom as the quality classifier's train/holdout): per token,
+    the occurrence rate in each half in parts-per-million and the top
+    ``DRIFT_TOP_K`` tokens by absolute rate drift — the data-mixing /
+    domain-shift detector (on a homogeneous corpus drift is pure sampling
+    noise; on a shifted mix the moved vocabulary surfaces at the top).
+    Integer arithmetic throughout, ``DRIFT_MIN_COUNT`` support floor.
+
+    Scale shape: ONE (tok) map-side-combined hash aggregate with the two
+    half-counts as conditional sums (no pivot exchange), totals as a 1-row
+    broadcast, TakeOrdered top-k.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.expr(f"{_HALF_SPARK}").alias("half"),
+        F.explode(F.expr(_TOK)).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.expr("case when half = 0 then 1 else 0 end")).alias("c0"),
+        F.sum(F.expr("case when half = 1 then 1 else 0 end")).alias("c1"),
+    )
+    # totals taken off the exploded tokens directly (ungrouped partial
+    # aggregate), NOT off `counts` — aggregating counts again would plan a
+    # SECOND tok-keyed exchange + corpus scan
+    tot = toks.agg(
+        F.sum(F.expr("case when half = 0 then 1 else 0 end")).alias("t0"),
+        F.sum(F.expr("case when half = 1 then 1 else 0 end")).alias("t1"),
+    )
+    scored = (
+        counts.filter(F.col("c0") + F.col("c1") >= DRIFT_MIN_COUNT)
+        .join(F.broadcast(tot))
+        .select(
+            "tok",
+            F.col("c0").cast("long").alias("c0"),
+            F.col("c1").cast("long").alias("c1"),
+            F.expr("cast((1000000 * c0) div t0 as bigint)").alias("r0_e6"),
+            F.expr("cast((1000000 * c1) div t1 as bigint)").alias("r1_e6"),
+        )
+        .withColumn(
+            "drift_e6",
+            F.expr("cast(abs(r0_e6 - r1_e6) as bigint)"),
+        )
+    )
+    top = scored.orderBy(F.desc("drift_e6"), F.asc("tok")).limit(DRIFT_TOP_K)
+    w = Window.orderBy(F.desc("drift_e6"), F.asc("tok"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "tok", "c0", "c1", "r0_e6", "r1_e6", "drift_e6", "rank"
+    )
+
+
+VOCAB_DRIFT_SQL = rf"""
+WITH toks AS (
+  SELECT {_HALF_DUCK} AS half, unnest({_TOK_DUCK}) AS tok FROM documents
+),
+counts AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM toks GROUP BY tok
+),
+tot AS (
+  SELECT sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS t0,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS t1
+  FROM toks
+),
+scored AS (
+  SELECT tok, c0, c1,
+         CAST((1000000 * c0) // t0 AS BIGINT) AS r0_e6,
+         CAST((1000000 * c1) // t1 AS BIGINT) AS r1_e6,
+         CAST(abs((1000000 * c0) // t0 - (1000000 * c1) // t1) AS BIGINT)
+           AS drift_e6
+  FROM counts CROSS JOIN tot
+  WHERE c0 + c1 >= {DRIFT_MIN_COUNT}
+)
+SELECT tok, c0, c1, r0_e6, r1_e6, drift_e6, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY drift_e6 DESC, tok ASC) AS rank
+  FROM scored
+) WHERE rank <= {DRIFT_TOP_K}
+"""
+
+
 QUERIES = {
     "chunk_documents": chunk_documents,
     "distinct_sketch": distinct_sketch,
     "pmi_top_pairs": pmi_top_pairs,
     "zipf_histogram": zipf_histogram,
     "bpe_fertility": bpe_fertility,
+    "heaps_curve": heaps_curve,
+    "vocab_drift": vocab_drift,
 }
 
 ORACLES = {
@@ -449,4 +623,6 @@ ORACLES = {
     "pmi_top_pairs": PMI_TOP_PAIRS_SQL,
     "zipf_histogram": ZIPF_HISTOGRAM_SQL,
     "bpe_fertility": _bpe_fertility_sql(),
+    "heaps_curve": HEAPS_CURVE_SQL,
+    "vocab_drift": VOCAB_DRIFT_SQL,
 }

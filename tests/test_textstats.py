@@ -257,3 +257,91 @@ def test_bpe_fertility_consistent_with_bpe_encode(spark):
             a.sum_tokens_bpe,
         ), lang
         assert r.fertility_bp == 10000 * r.sum_tokens_bpe // r.sum_words
+
+
+def test_heaps_curve_plan_two_exchanges(spark):
+    """tok→min-doc aggregate + decile rollup: two hash exchanges; the
+    cumulative window runs over ≤10 rows (no range partitioning — not a
+    data-scale sort); no join beyond the 1-row broadcast."""
+    from forum_dl_spark.operators.textstats import heaps_curve
+
+    df = heaps_curve(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_vocab_drift_single_token_exchange(spark):
+    """The two half-counts are conditional sums inside ONE tok-keyed
+    aggregate (no pivot exchange); totals broadcast; top-k TakeOrdered."""
+    from forum_dl_spark.operators.textstats import vocab_drift
+
+    df = vocab_drift(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_heaps_curve_matches_python(spark):
+    """Per-decile new-type counts and the cumulative vocabulary equal a
+    pure-Python first-occurrence scan, and the final cumulative equals the
+    full vocabulary size."""
+    from forum_dl_spark.operators.textstats import HEAPS_DECILES, heaps_curve
+
+    tab = sorted(
+        pq.read_table(f"{SF_SMALL}/documents.parquet").to_pylist(),
+        key=lambda d: d["doc_id"],
+    )
+    n_docs = len(tab)
+    first: dict[str, int] = {}
+    for d in tab:
+        for t in _toks(d["text"]):
+            first.setdefault(t, d["doc_id"])
+    expect: dict[int, int] = {}
+    for fd in first.values():
+        dec = fd * HEAPS_DECILES // n_docs
+        expect[dec] = expect.get(dec, 0) + 1
+    rows = sorted(heaps_curve(spark, SF_SMALL).collect(),
+                  key=lambda r: r.decile)
+    assert {r.decile: r.n_new_types for r in rows} == expect
+    cum = 0
+    for r in rows:
+        cum += r.n_new_types
+        assert r.n_types_cum == cum
+    assert cum == len(first)
+
+
+def test_vocab_drift_matches_python(spark):
+    """Half assignment (md5 parity), per-half rates, drift, and the top-K
+    cut all match a pure-Python recount."""
+    from forum_dl_spark.operators.textstats import (
+        DRIFT_MIN_COUNT,
+        DRIFT_TOP_K,
+        vocab_drift,
+    )
+
+    tab = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pylist()
+    c: dict[str, list[int]] = {}
+    for d in tab:
+        half = int(hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:8],
+                   16) % 2
+        for t in _toks(d["text"]):
+            c.setdefault(t, [0, 0])[half] += 1
+    t0 = sum(v[0] for v in c.values())
+    t1 = sum(v[1] for v in c.values())
+    scored = []
+    for tok, (c0, c1) in c.items():
+        if c0 + c1 < DRIFT_MIN_COUNT:
+            continue
+        r0 = 1000000 * c0 // t0
+        r1 = 1000000 * c1 // t1
+        scored.append((tok, c0, c1, r0, r1, abs(r0 - r1)))
+    scored.sort(key=lambda x: (-x[5], x[0]))
+    expect = [s + (i + 1,) for i, s in enumerate(scored[:DRIFT_TOP_K])]
+    got = [
+        (r.tok, r.c0, r.c1, r.r0_e6, r.r1_e6, r.drift_e6, r.rank)
+        for r in vocab_drift(spark, SF_SMALL).collect()
+    ]
+    assert sorted(got, key=lambda x: x[6]) == expect
