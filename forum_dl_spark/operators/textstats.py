@@ -607,6 +607,135 @@ SELECT tok, c0, c1, r0_e6, r1_e6, drift_e6, rank FROM (
 """
 
 
+# --- per-source lexical-diversity audit -------------------------------------------
+
+
+def source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: token mass, vocabulary size,
+    type-token ratio (basis points), hapax share of the vocabulary
+    (basis points), and a floor-log2 Shannon-entropy proxy
+    ent_e4 = (10000·(N·⌊log2 N⌋ − Σ c·⌊log2 c⌋)) div N — the same
+    integer surprisal idiom as perplexity_buckets, so both engines agree
+    bit for bit (a real pipeline would use doubles; exactness is the
+    point of the gate).  Low TTR / low entropy flags template-generated
+    or boilerplate-heavy sources — the per-source counterpart of the
+    per-document repetition_stats.
+
+    Scale shape: one (source, tok) map-side-combined hash aggregate, one
+    per-source rollup — two exchanges, no join, no sort (the same shape
+    as zipf_histogram with a source key).
+    """
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select("source", F.explode(F.expr(_TOK)).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.expr("case when c = 1 then 1 else 0 end")).alias("n_hapax"),
+        F.sum(F.expr("c * (length(bin(c)) - 1)")).alias("sum_clog"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.expr("cast((10000 * n_types) div n_tokens as bigint)").alias(
+            "ttr_bp"
+        ),
+        F.expr("cast((10000 * n_hapax) div n_types as bigint)").alias(
+            "hapax_bp"
+        ),
+        F.expr(
+            "cast((10000 * (n_tokens * (length(bin(n_tokens)) - 1)"
+            " - sum_clog)) div n_tokens as bigint)"
+        ).alias("ent_e4"),
+    )
+
+
+SOURCE_DIVERSITY_SQL = rf"""
+WITH counts AS (
+  SELECT source, tok, count(*) AS c
+  FROM (SELECT source, unnest({_TOK_DUCK}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(sum(c * (length(printf('%b', c)) - 1)) AS BIGINT) AS sum_clog
+  FROM counts GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       CAST((10000 * n_types) // n_tokens AS BIGINT) AS ttr_bp,
+       CAST((10000 * n_hapax) // n_types AS BIGINT) AS hapax_bp,
+       CAST((10000 * (n_tokens * (length(printf('%b', n_tokens)) - 1)
+             - sum_clog)) // n_tokens AS BIGINT) AS ent_e4
+FROM agg
+"""
+
+
+# --- per-source length-outlier detection --------------------------------------------
+
+OUTLIER_TOP_K = 25
+
+
+def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``OUTLIER_TOP_K`` documents by relative deviation of their
+    token length from their SOURCE's mean length — the truncation /
+    concatenation / boilerplate-blob detector run per stratum so a
+    long-form source doesn't drown a short-form one.  dev_e6 =
+    (10⁶·|n_src·len − sum_len_src|) div sum_len_src, integer-exact (the
+    cross-multiplied form of |len/mean − 1| that avoids any division
+    before the final one).
+
+    Scale shape: per-source (count, sum) is one map-side-combined
+    aggregate over a narrow length projection; the tiny source dimension
+    broadcasts back into the scan; top-k is a TakeOrdered.  The corpus
+    never shuffles.
+    """
+    d = _docs(spark, sf_dir)
+    lens = d.select(
+        "doc_id", "source", F.expr(f"size({_TOK})").cast("long").alias("len")
+    )
+    stats = lens.groupBy("source").agg(
+        F.count("*").alias("n_src"), F.sum("len").alias("sum_len")
+    )
+    scored = lens.join(F.broadcast(stats), "source").select(
+        "doc_id",
+        "source",
+        "len",
+        F.expr(
+            "cast((1000000 * abs(n_src * len - sum_len)) div sum_len"
+            " as bigint)"
+        ).alias("dev_e6"),
+    )
+    return (
+        scored.orderBy(F.desc("dev_e6"), F.asc("doc_id"))
+        .limit(OUTLIER_TOP_K)
+        .select("doc_id", "source", "len", "dev_e6")
+    )
+
+
+LENGTH_OUTLIERS_SQL = rf"""
+WITH lens AS (
+  SELECT doc_id, source, CAST(len({_TOK_DUCK}) AS BIGINT) AS len
+  FROM documents
+),
+stats AS (
+  SELECT source, count(*) AS n_src, sum(len) AS sum_len
+  FROM lens GROUP BY source
+)
+SELECT doc_id, source, len,
+       CAST((1000000 * abs(n_src * len - sum_len)) // sum_len AS BIGINT)
+         AS dev_e6
+FROM lens JOIN stats USING (source)
+ORDER BY dev_e6 DESC, doc_id ASC LIMIT {OUTLIER_TOP_K}
+"""
+
+
 QUERIES = {
     "chunk_documents": chunk_documents,
     "distinct_sketch": distinct_sketch,
@@ -615,6 +744,8 @@ QUERIES = {
     "bpe_fertility": bpe_fertility,
     "heaps_curve": heaps_curve,
     "vocab_drift": vocab_drift,
+    "source_diversity": source_diversity,
+    "length_outliers": length_outliers,
 }
 
 ORACLES = {
@@ -625,4 +756,6 @@ ORACLES = {
     "bpe_fertility": _bpe_fertility_sql(),
     "heaps_curve": HEAPS_CURVE_SQL,
     "vocab_drift": VOCAB_DRIFT_SQL,
+    "source_diversity": SOURCE_DIVERSITY_SQL,
+    "length_outliers": LENGTH_OUTLIERS_SQL,
 }

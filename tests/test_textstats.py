@@ -345,3 +345,76 @@ def test_vocab_drift_matches_python(spark):
         for r in vocab_drift(spark, SF_SMALL).collect()
     ]
     assert sorted(got, key=lambda x: x[6]) == expect
+
+
+def test_source_diversity_plan_and_python(spark):
+    """Two hash exchanges, no join/sort; values match a pure-Python
+    recount under the floor-log2 entropy proxy."""
+    from forum_dl_spark.operators.textstats import source_diversity
+
+    df = source_diversity(spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+    tab = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pylist()
+    c: dict[str, dict[str, int]] = {}
+    for d in tab:
+        for t in _toks(d["text"]):
+            src = c.setdefault(d["source"], {})
+            src[t] = src.get(t, 0) + 1
+    got = {r.source: r for r in df.collect()}
+    assert set(got) == {s for s, v in c.items() if v}
+    flog2 = lambda x: x.bit_length() - 1  # noqa: E731
+    for src, cnts in c.items():
+        n = sum(cnts.values())
+        types = len(cnts)
+        hapax = sum(1 for v in cnts.values() if v == 1)
+        sum_clog = sum(v * flog2(v) for v in cnts.values())
+        r = got[src]
+        assert (r.n_tokens, r.n_types) == (n, types), src
+        assert r.ttr_bp == 10000 * types // n, src
+        assert r.hapax_bp == 10000 * hapax // types, src
+        assert r.ent_e4 == 10000 * (n * flog2(n) - sum_clog) // n, src
+
+
+def test_length_outliers_planted_blob(spark, tmp_path):
+    """Plant one blob document 50x its source's typical length into a
+    copy of the corpus: it must rank first with the exact cross-
+    multiplied deviation; the corpus never shuffles (broadcast stats,
+    TakeOrdered)."""
+    import pyarrow as pa
+
+    from forum_dl_spark.operators.textstats import (
+        OUTLIER_TOP_K,
+        length_outliers,
+    )
+
+    tab = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pylist()
+    blob = dict(tab[0])
+    blob["doc_id"] = max(d["doc_id"] for d in tab) + 1
+    blob["text"] = " ".join(["blobword"] * (50 * len(_toks(tab[0]["text"]))))
+    tab.append(blob)
+    out = tmp_path / "planted"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(tab), out / "documents.parquet")
+
+    df = length_outliers(spark, str(out))
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    rows = df.collect()
+    assert len(rows) == OUTLIER_TOP_K
+    top = rows[0]
+    assert top.doc_id == blob["doc_id"]
+    # exact integer deviation for the planted doc
+    src_rows = [d for d in tab if d["source"] == blob["source"]]
+    n_src = len(src_rows)
+    sum_len = sum(len(_toks(d["text"])) for d in src_rows)
+    blob_len = len(_toks(blob["text"]))
+    assert top.len == blob_len
+    assert top.dev_e6 == 1000000 * abs(n_src * blob_len - sum_len) // sum_len
+    assert rows == sorted(rows, key=lambda r: (-r.dev_e6, r.doc_id))
