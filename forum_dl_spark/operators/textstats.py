@@ -736,6 +736,126 @@ ORDER BY dev_e6 DESC, doc_id ASC LIMIT {OUTLIER_TOP_K}
 """
 
 
+# --- pairwise source-overlap matrix ---------------------------------------------
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram-shingle overlap between sources: common shingles,
+    Jaccard, and A-in-B containment in basis points — the dataset
+    provenance / cross-source contamination audit (which corpora are
+    re-hosting or mirroring each other), the corpus-level counterpart of
+    dedup_cross_corpus.  Only source pairs sharing ≥1 shingle appear.
+
+    Scale shape: NO shingle self-join — the distinct (shingle, source)
+    relation aggregates to a per-shingle SORTED source set (bounded by
+    the source-dimension size, not the corpus), pair combinations explode
+    from that array in a narrow projection, and the pair rollup + two
+    broadcast total joins finish on the tiny source-pair domain.  The
+    heavy exchanges are both shingle-keyed and linear in distinct
+    shingles.  Totals and pairs both consume the distinct (source,
+    shingle) relation, which Spark plans as two scans (no automatic
+    common-subplan reuse) — same audit-grade tradeoff as
+    ``distinct_sketch``'s exact branch; a standalone run at real scale
+    would persist it once.
+    """
+    d = _docs(spark, sf_dir)
+    ss = (
+        d.select("source", F.expr(_TOK).alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat_ws(' ', element_at(t, i),"
+                    " element_at(t, i + 1), element_at(t, i + 2)))"
+                )
+            ).alias("sh"),
+        )
+        .select("source", F.expr(_H32_SPARK).alias("h"))
+        .distinct()
+    )
+    totals = ss.groupBy("source").agg(F.count("*").alias("n"))
+    pairs = (
+        ss.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ss) - 1),"
+                    " i -> transform(sequence(i + 1, size(ss)),"
+                    " j -> struct(element_at(ss, i) as src_a,"
+                    " element_at(ss, j) as src_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ta = totals.select(
+        F.col("source").alias("src_a"), F.col("n").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("src_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr(
+                "cast((10000 * n_common) div (n_a + n_b - n_common)"
+                " as bigint)"
+            ).alias("jaccard_bp"),
+            F.expr("cast((10000 * n_common) div n_a as bigint)").alias(
+                "contain_a_bp"
+            ),
+        )
+    )
+
+
+SOURCE_OVERLAP_SQL = rf"""
+WITH ss AS (
+  SELECT DISTINCT source, {_H32_DUCK} AS h
+  FROM (
+    SELECT source,
+           unnest([concat(t[i], ' ', t[i + 1], ' ', t[i + 2])
+                   for i in generate_series(1, len(t) - 2)]) AS sh
+    FROM (SELECT source, {_TOK_DUCK} AS t FROM documents)
+    WHERE len(t) >= 3
+  )
+),
+totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY source),
+sets AS (
+  SELECT h, list_sort(list(DISTINCT source)) AS s
+  FROM ss GROUP BY h HAVING count(DISTINCT source) >= 2
+),
+pairs AS (
+  SELECT p.src_a, p.src_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM (
+    SELECT unnest(flatten(list_transform(
+             generate_series(1, len(s) - 1),
+             i -> list_transform(generate_series(i + 1, len(s)),
+                  j -> struct_pack(src_a := s[i], src_b := s[j]))))) AS p
+    FROM sets
+  ) GROUP BY 1, 2
+)
+SELECT src_a, src_b, ta.n AS n_a, tb.n AS n_b, n_common,
+       CAST((10000 * n_common) // (ta.n + tb.n - n_common) AS BIGINT)
+         AS jaccard_bp,
+       CAST((10000 * n_common) // ta.n AS BIGINT) AS contain_a_bp
+FROM pairs
+JOIN totals ta ON ta.source = pairs.src_a
+JOIN totals tb ON tb.source = pairs.src_b
+"""
+
+
 QUERIES = {
     "chunk_documents": chunk_documents,
     "distinct_sketch": distinct_sketch,
@@ -746,6 +866,7 @@ QUERIES = {
     "vocab_drift": vocab_drift,
     "source_diversity": source_diversity,
     "length_outliers": length_outliers,
+    "source_overlap_matrix": source_overlap_matrix,
 }
 
 ORACLES = {
@@ -758,4 +879,5 @@ ORACLES = {
     "vocab_drift": VOCAB_DRIFT_SQL,
     "source_diversity": SOURCE_DIVERSITY_SQL,
     "length_outliers": LENGTH_OUTLIERS_SQL,
+    "source_overlap_matrix": SOURCE_OVERLAP_SQL,
 }

@@ -418,3 +418,47 @@ def test_length_outliers_planted_blob(spark, tmp_path):
     assert top.len == blob_len
     assert top.dev_e6 == 1000000 * abs(n_src * blob_len - sum_len) // sum_len
     assert rows == sorted(rows, key=lambda r: (-r.dev_e6, r.doc_id))
+
+
+def test_source_overlap_matrix_plan_and_python(spark):
+    """No shingle self-join (pairs explode from the per-shingle source
+    set); totals join via broadcast; values match a pure-Python
+    set-intersection recount at sf0.001."""
+    from forum_dl_spark.operators.textstats import source_overlap_matrix
+
+    df = source_overlap_matrix(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+    tab = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pylist()
+    shingles: dict[str, set[int]] = {}
+    for d in tab:
+        t = _toks(d["text"])
+        for i in range(len(t) - 2):
+            h = int(
+                hashlib.md5(" ".join(t[i : i + 3]).encode()).hexdigest()[:8],
+                16,
+            )
+            shingles.setdefault(d["source"], set()).add(h)
+    srcs = sorted(shingles)
+    expect = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            common = len(shingles[a] & shingles[b])
+            if not common:
+                continue
+            na, nb = len(shingles[a]), len(shingles[b])
+            expect[(a, b)] = (
+                na,
+                nb,
+                common,
+                10000 * common // (na + nb - common),
+                10000 * common // na,
+            )
+    got = {
+        (r.src_a, r.src_b): (r.n_a, r.n_b, r.n_common, r.jaccard_bp,
+                             r.contain_a_bp)
+        for r in df.collect()
+    }
+    assert got == expect
