@@ -856,6 +856,61 @@ JOIN totals tb ON tb.source = pairs.src_b
 """
 
 
+# --- exact per-source length percentiles --------------------------------------------
+
+PCTS = [25, 50, 75, 90, 99]
+
+
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token-length percentiles (p25/p50/p75/p90/p99) as
+    discontinuous order statistics: p_q = the ceil(q·n/100)-th smallest
+    length — pure integer rank arithmetic, so both engines pick the
+    identical element (no interpolation, no float quantile estimator).
+    The datasheet companion of ``corpus_datasheet``'s totals and the
+    honest 100 TB quantile shape ``ir.py`` gestures at for the CCNet cut.
+
+    Scale shape: ONE source-keyed exchange feeding a per-partition sort
+    (the window), then the per-source rollup rides the window's existing
+    partitioning (no second exchange — plan-pinned); the percentile pivot
+    is conditional aggregation on rank equality, not five passes.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    lens = d.select(
+        "doc_id", "source", F.expr(f"size({_TOK})").cast("long").alias("len")
+    )
+    w = Window.partitionBy("source").orderBy("len", "doc_id")
+    ranked = lens.select(
+        "source",
+        "len",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    aggs = [F.count("*").alias("n_docs")] + [
+        F.max(
+            F.expr(f"case when rn = (({p} * n) + 99) div 100 then len end")
+        ).alias(f"p{p}")
+        for p in PCTS
+    ]
+    return ranked.groupBy("source").agg(*aggs)
+
+
+LENGTH_PERCENTILES_SQL = rf"""
+WITH ranked AS (
+  SELECT source, len,
+         row_number() OVER (PARTITION BY source ORDER BY len, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM (SELECT doc_id, source, CAST(len({_TOK_DUCK}) AS BIGINT) AS len
+        FROM documents)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+{",".join(f"       max(CASE WHEN rn = (({p} * n) + 99) // 100 THEN len END) AS p{p}"
+          for p in PCTS)}
+FROM ranked GROUP BY source
+"""
+
+
 QUERIES = {
     "chunk_documents": chunk_documents,
     "distinct_sketch": distinct_sketch,
@@ -867,6 +922,7 @@ QUERIES = {
     "source_diversity": source_diversity,
     "length_outliers": length_outliers,
     "source_overlap_matrix": source_overlap_matrix,
+    "length_percentiles": length_percentiles,
 }
 
 ORACLES = {
@@ -880,4 +936,5 @@ ORACLES = {
     "source_diversity": SOURCE_DIVERSITY_SQL,
     "length_outliers": LENGTH_OUTLIERS_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
+    "length_percentiles": LENGTH_PERCENTILES_SQL,
 }

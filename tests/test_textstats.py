@@ -462,3 +462,33 @@ def test_source_overlap_matrix_plan_and_python(spark):
         for r in df.collect()
     }
     assert got == expect
+
+
+def test_length_percentiles_plan_and_python(spark):
+    """ONE source-keyed exchange (the rollup rides the window's
+    partitioning); exact order statistics match a pure-Python sort at
+    sf0.001, including the ceil-rank selection rule."""
+    from forum_dl_spark.operators.textstats import (
+        PCTS,
+        length_percentiles,
+    )
+
+    df = length_percentiles(spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+    tab = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pylist()
+    by_src: dict[str, list[int]] = {}
+    for d in tab:
+        by_src.setdefault(d["source"], []).append(len(_toks(d["text"])))
+    got = {r.source: r for r in df.collect()}
+    assert set(got) == set(by_src)
+    for src, lens in by_src.items():
+        lens.sort()
+        n = len(lens)
+        r = got[src]
+        assert r.n_docs == n, src
+        for p in PCTS:
+            k = (p * n + 99) // 100
+            assert getattr(r, f"p{p}") == lens[k - 1], (src, p)
