@@ -16,13 +16,14 @@ Modules:
 - ir:          BM25 / tf-idf keywords / perplexity buckets / winnowing
 - graph:       link-graph analytics (integer-exact iterative PageRank)
 - textstats:   chunking, cardinality sketch, PMI, Zipf histogram, fertility
+- mixing:      temperature mixture weights + token-budgeted source draw
 """
 
-from . import (corpus, dedup, graph, ir, multimodal, pipeline, relational,
-               similarity, streamq, textops, textstats)
+from . import (corpus, dedup, graph, ir, mixing, multimodal, pipeline,
+               relational, similarity, streamq, textops, textstats)
 
 _MODULES = [relational, dedup, textops, similarity, multimodal, pipeline,
-            streamq, corpus, ir, graph, textstats]
+            streamq, corpus, ir, graph, textstats, mixing]
 
 
 def all_queries():

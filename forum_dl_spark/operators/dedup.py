@@ -712,8 +712,84 @@ LEFT JOIN base b ON i.fp = b.fp
 """
 
 
+# --- prefix dedup -----------------------------------------------------------
+
+PREFIX_TOKENS = 16
+
+
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-hash near-dedup: documents sharing the md5 of their first
+    ``PREFIX_TOKENS`` whitespace tokens are duplicates (the truncated /
+    extended-copy case exact full-text hashing misses — the classic
+    URL+prefix crawl dedup).  Keeper = min doc_id per prefix; output is
+    the per-source removal accounting.
+
+    Scale shape: the prefix fingerprint is a zero-exchange projection
+    (only doc_id/source/fp enter the shuffle, never the text); ONE
+    fp-keyed window finds the keeper; the source rollup is a tiny
+    map-side-combined aggregate.  No join, no sort, no all-pairs —
+    the 100 TB shape (plan-pinned in tests/test_mixing_prefix.py).
+    """
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    pre = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')"),
+                    1,
+                    PREFIX_TOKENS,
+                ),
+            )
+        ).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    marked = pre.withColumn("keep_id", F.min("doc_id").over(w))
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") > F.col("keep_id"), 1).otherwise(0)
+            ).alias("n_prefix_dupes"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_prefix_dupes",
+            F.expr("(10000 * n_prefix_dupes) div n_docs").alias("dup_bp"),
+        )
+    )
+
+
+DEDUP_PREFIX_SQL = f"""
+WITH pre AS (
+  SELECT doc_id, source,
+         md5(array_to_string(
+               list_slice(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      x -> x != ''),
+                          1, {PREFIX_TOKENS}), ' ')) AS fp
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, source, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+  FROM pre
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN doc_id > keep_id THEN 1 ELSE 0 END) AS n_prefix_dupes,
+       (10000 * sum(CASE WHEN doc_id > keep_id THEN 1 ELSE 0 END)) // count(*)
+         AS dup_bp
+FROM marked GROUP BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_prefix": dedup_prefix,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_verified": dedup_lsh_verified,
@@ -725,6 +801,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_prefix": DEDUP_PREFIX_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,

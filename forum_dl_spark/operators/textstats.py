@@ -911,8 +911,81 @@ FROM ranked GROUP BY source
 """
 
 
+# --- per-source template n-grams ------------------------------------------------
+
+TEMPLATE_N = 3       # n-gram order
+TEMPLATE_TOPK = 3    # templates reported per source
+
+
+def template_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detector: the ``TEMPLATE_TOPK`` word
+    ``TEMPLATE_N``-grams with the highest DOCUMENT frequency within each
+    source (ties broken lexicographically) — high-DF n-grams inside one
+    source are template/boilerplate text (nav bars, signatures, footers),
+    the thing line-based CCNet dedup removes; PMI finds *strong*
+    collocations, this finds *ubiquitous* ones.
+
+    Scale shape: distinct (source, doc, gram) then a (source, gram)
+    count aggregate — both map-side combined — and a source-keyed
+    window for the top-K; the gram relation carries fixed-width strings
+    only (no text column past the first projection), and the final
+    window's partition count equals the source dimension.  No join, no
+    global sort (plan-pinned).
+    """
+    from pyspark.sql.window import Window
+
+    n, k = TEMPLATE_N, TEMPLATE_TOPK
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "source", F.expr(_TOK).alias("w")).filter(
+        F.size("w") >= n
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(w, i, {n})))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    df_counts = grams.groupBy("source", "gram").agg(
+        F.count("*").alias("df")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("df"), F.asc("gram"))
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "gram", "df", "rank")
+    )
+
+
+TEMPLATE_NGRAMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOK_DUCK} AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(list_slice(w, i, i + {TEMPLATE_N - 1}), ' ') AS gram
+  FROM toks, unnest(range(1, len(w) - {TEMPLATE_N - 2})) AS r(i)
+  WHERE len(w) >= {TEMPLATE_N}
+),
+df_counts AS (
+  SELECT source, gram, count(*) AS df FROM grams GROUP BY source, gram
+),
+ranked AS (
+  SELECT source, gram, df,
+         row_number() OVER (PARTITION BY source ORDER BY df DESC, gram ASC)
+           AS rank
+  FROM df_counts
+)
+SELECT source, gram, df, rank FROM ranked WHERE rank <= {TEMPLATE_TOPK}
+"""
+
+
 QUERIES = {
     "chunk_documents": chunk_documents,
+    "template_ngrams": template_ngrams,
     "distinct_sketch": distinct_sketch,
     "pmi_top_pairs": pmi_top_pairs,
     "zipf_histogram": zipf_histogram,
@@ -927,6 +1000,7 @@ QUERIES = {
 
 ORACLES = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "template_ngrams": TEMPLATE_NGRAMS_SQL,
     "distinct_sketch": DISTINCT_SKETCH_SQL,
     "pmi_top_pairs": PMI_TOP_PAIRS_SQL,
     "zipf_histogram": ZIPF_HISTOGRAM_SQL,
