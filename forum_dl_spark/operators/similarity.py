@@ -1128,6 +1128,262 @@ GROUP BY pqexact.query_id
 )
 
 
+# --- scalar quantization (int8-per-dimension compression) ---------------------
+#
+# The OTHER classic vector-compression scheme next to PQ: each dimension is
+# affinely mapped to an integer code in [0, 255] using per-dimension min/max
+# learned from the data (FAISS ScalarQuantizer QT_8bit / Lucene int8 HNSW).
+# 4× compression at near-zero recall loss — the cheap first rung of the
+# compression ladder, vs PQ's 32× lossy rung.
+#
+# Integer-exact contract: inputs are floor-prescaled to integers (like PQ),
+# the quantizer params (min, span) per dimension are integers, the code is
+# ((x - mn) * 255) div span — integer division, so Spark / DuckDB / any
+# partitioning produce bit-identical codes, distances, and distortions.
+#
+# Scale shape: the stats pass is ONE hash aggregate producing 2×dim scalars
+# (map-side combined, 1-row result) collected to the driver — the legitimate
+# driver-side control state, same rationale as the PQ codebook — and inlined
+# as literal arrays, so ENCODING is a zero-exchange whole-stage-codegen
+# projection over the vector scan. Search broadcasts the (tiny) query code
+# relation; the only wide op is the per-query top-k window.
+
+SQ_PRESCALE = 10000  # float -> integer floor prescale (integer-exact basis)
+SQ_LEVELS = 255      # codes in [0, 255]: int8 per dimension
+
+
+def _sq_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q): embeddings floor-prescaled to integer vectors."""
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            f" x -> cast(floor(cast(x as double) * {SQ_PRESCALE}) as bigint))"
+        ).alias("q"),
+    )
+
+
+# the quantizer params are 2×dim pure-Python ints — the _DSIR_MODEL_MEMO
+# pattern lets sq_codes / sq_topk / sq_recall share one stats pass per
+# (session, sf_dir), no persist lifetime to manage
+_SQ_PARAMS_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def _sq_params(spark: SparkSession, sf_dir: str):
+    """(mins, spans): per-dimension integer min and max(1, max-min), learned
+    in ONE hash aggregate (2×dim scalar cells, 1 row) and collected — the
+    quantizer's control state."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SQ_PARAMS_MEMO:
+        return _SQ_PARAMS_MEMO[key]
+    dim = _embedding_dim(spark, sf_dir)
+    aggs = [
+        F.min(F.element_at("q", d + 1)).alias(f"mn{d}") for d in range(dim)
+    ] + [F.max(F.element_at("q", d + 1)).alias(f"mx{d}") for d in range(dim)]
+    row = _sq_quant(spark, sf_dir).agg(*aggs).collect()[0]
+    mins = [int(row[f"mn{d}"]) for d in range(dim)]
+    spans = [max(1, int(row[f"mx{d}"]) - mins[d]) for d in range(dim)]
+    _SQ_PARAMS_MEMO[key] = (mins, spans)
+    return mins, spans
+
+
+def _sq_lit(vals: list[int]) -> str:
+    return "array(" + ",".join(f"{v}L" for v in vals) + ")"
+
+
+def _sq_encoded(spark: SparkSession, sf_dir: str, mins, spans) -> DataFrame:
+    """(vec_id, q, c): quantized input + int8 code vector. The params are
+    plan literals — encoding is a narrow projection, nothing shuffles."""
+    xm = f"zip_with(q, {_sq_lit(mins)}, (x, m) -> x - m)"
+    return _sq_quant(spark, sf_dir).select(
+        "vec_id",
+        "q",
+        F.expr(
+            f"zip_with({xm}, {_sq_lit(spans)},"
+            f" (x, s) -> (x * {SQ_LEVELS}) div s)"
+        ).alias("c"),
+    )
+
+
+def sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ encoding audit: per vector, the int8 codes (joined '-') and the
+    total integer squared reconstruction error (distortion) of decoding
+    code -> mn + (c * span) div 255."""
+    mins, spans = _sq_params(spark, sf_dir)
+    enc = _sq_encoded(spark, sf_dir, mins, spans)
+    xm = f"zip_with(q, {_sq_lit(mins)}, (x, m) -> x - m)"
+    errs = (
+        f"zip_with({xm}, zip_with(c, {_sq_lit(spans)},"
+        f" (cc, s) -> (cc * s) div {SQ_LEVELS}), (x, r) -> x - r)"
+    )
+    return enc.select(
+        "vec_id",
+        F.expr(
+            "array_join(transform(c, x -> cast(x as string)), '-')"
+        ).alias("codes"),
+        F.expr(
+            f"aggregate({errs}, cast(0 as bigint), (s, e) -> s + e * e)"
+        ).alias("distortion"),
+    )
+
+
+def sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric code-space search: integer L2² between int8 code vectors,
+    query codes broadcast, top-k per query."""
+    from pyspark.sql import Window
+
+    mins, spans = _sq_params(spark, sf_dir)
+    enc = _sq_encoded(spark, sf_dir, mins, spans)
+    docs = enc.select(F.col("vec_id").alias("neighbor_id"), F.col("c").alias("cb"))
+    qs = enc.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("ca")
+    )
+    pairs = docs.crossJoin(F.broadcast(qs)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dist = (
+        "aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (s, x) -> s + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("sq_dist"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("sq_dist", F.expr(dist))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sq_dist")
+    )
+
+
+def sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of code-space search vs exact integer L2² on the prescaled
+    vectors — what the 4× compression costs (near-lossless by design)."""
+    from pyspark.sql import Window
+
+    e = _sq_quant(spark, sf_dir)
+    a = e.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    b = e.alias("b")
+    dist = (
+        "aggregate(zip_with(a.q, b.q, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (s, x) -> s + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id")
+    )
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.expr(dist).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    ann = sq_topk(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hit = exact.join(
+        ann,
+        (exact.query_id == F.col("aq")) & (exact.neighbor_id == F.col("an")),
+        "left",
+    ).select("query_id", F.col("an").isNotNull().cast("int").alias("hit"))
+    return hit.groupBy("query_id").agg(
+        F.round(F.sum("hit") / F.count("*"), 6).alias("recall")
+    )
+
+
+_DUCK_SQ_CTES = f"""
+sql0 AS (
+  SELECT vec_id,
+         unnest([{{'d': i,
+                  'qx': CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                   * {SQ_PRESCALE}) AS BIGINT)}}
+                 for i in generate_series(1, len(embedding))],
+                recursive := true)
+  FROM embeddings
+),
+sqstats AS (
+  SELECT d, min(qx) AS mn, greatest(1, max(qx) - min(qx)) AS sp
+  FROM sql0 GROUP BY d
+),
+sqcodes AS (
+  SELECT e.vec_id, e.d, e.qx, s.mn, s.sp,
+         (e.qx - s.mn) * {SQ_LEVELS} // s.sp AS c
+  FROM sql0 e JOIN sqstats s ON e.d = s.d
+)
+"""
+
+SQ_CODES_SQL = (
+    "WITH "
+    + _DUCK_SQ_CTES.strip()
+    + f"""
+SELECT vec_id,
+       string_agg(CAST(c AS varchar), '-' ORDER BY d) AS codes,
+       CAST(sum((qx - mn - (c * sp) // {SQ_LEVELS})
+                * (qx - mn - (c * sp) // {SQ_LEVELS})) AS BIGINT)
+       AS distortion
+FROM sqcodes GROUP BY vec_id
+"""
+)
+
+_DUCK_SQ_TOPK_CTE = f"""
+sqpairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum((q.c - c.c) * (q.c - c.c)) AS BIGINT) AS sq_dist
+  FROM sqcodes q JOIN sqcodes c ON q.d = c.d
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+  GROUP BY 1, 2
+),
+sqtopk AS (
+  SELECT query_id, neighbor_id, rank, sq_dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sq_dist, neighbor_id) AS rank
+    FROM sqpairs
+  ) WHERE rank <= {TOP_K}
+)
+"""
+
+SQ_TOPK_SQL = (
+    "WITH "
+    + _DUCK_SQ_CTES.strip()
+    + ",\n"
+    + _DUCK_SQ_TOPK_CTE.strip()
+    + "\nSELECT query_id, neighbor_id, rank, sq_dist FROM sqtopk"
+)
+
+SQ_RECALL_SQL = (
+    "WITH "
+    + _DUCK_SQ_CTES.strip()
+    + ",\n"
+    + _DUCK_SQ_TOPK_CTE.strip()
+    + f""",
+sqexact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY sum((a.qx - b.qx) * (a.qx - b.qx)),
+                                       b.vec_id) AS rank
+    FROM sql0 a JOIN sql0 b ON a.d = b.d
+    WHERE a.vec_id < {N_QUERIES} AND b.vec_id != a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+  ) WHERE rank <= {TOP_K}
+)
+SELECT sqexact.query_id,
+       round(CAST(sum(CASE WHEN sqtopk.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+       AS recall
+FROM sqexact LEFT JOIN sqtopk
+  ON sqexact.query_id = sqtopk.query_id
+ AND sqexact.neighbor_id = sqtopk.neighbor_id
+GROUP BY sqexact.query_id
+"""
+)
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -1142,6 +1398,9 @@ QUERIES = {
     "pq_codes": pq_codes,
     "pq_topk": pq_topk,
     "pq_recall": pq_recall,
+    "sq_codes": sq_codes,
+    "sq_topk": sq_topk,
+    "sq_recall": sq_recall,
     "embedding_neardup_cosine": embedding_neardup_cosine,
 }
 
@@ -1159,5 +1418,8 @@ ORACLES = {
     "pq_codes": PQ_CODES_SQL,
     "pq_topk": PQ_TOPK_SQL,
     "pq_recall": PQ_RECALL_SQL,
+    "sq_codes": SQ_CODES_SQL,
+    "sq_topk": SQ_TOPK_SQL,
+    "sq_recall": SQ_RECALL_SQL,
     "embedding_neardup_cosine": EMBEDDING_NEARDUP_SQL,
 }
