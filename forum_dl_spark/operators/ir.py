@@ -409,6 +409,104 @@ FROM per_doc
 """
 
 
+# --- bigram-LM perplexity (trained token-in-context scoring) ------------------
+
+
+def lm_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-shaped perplexity filter with a REAL trained bigram LM.
+
+    perplexity_buckets scores each token by its corpus frequency alone; this
+    operator trains the 2-gram conditional on the corpus and scores tokens
+    IN CONTEXT: per-bigram surprisal = floor(log2(cprev(u) // c2(u, v)))
+    where c2 is the bigram count and cprev(u) is u's count as a predecessor
+    (so c2 <= cprev and the ratio is >= 1) — the integer-exact
+    length(bin())-1 trick, no libm log in either engine. Per-doc score =
+    (10000 * sum(surprisal)) // n_bigrams; buckets = ntile(3) over
+    (score, doc_id), 1 = most predictable. Boilerplate/template text scores
+    LOW (its transitions are memorized); shuffled or rare-transition text
+    scores HIGH — the signal the unigram proxy cannot see.
+
+    Scale shape: bigram FORMATION is a zero-exchange projection
+    (zip_with over two slices of the token array — no window, no lag,
+    docs never shuffle for it); the count model c2/cprev is one
+    map-side-combined gram-keyed aggregate reused for both relations; on
+    this corpus the model is vocabulary²-bounded and BROADCAST into the
+    token stream (the tfidf/df_t rationale) — at open-web scale the same
+    plan with the broadcast hints dropped becomes the standard KenLM
+    count-join (gram-keyed shuffle join), no shape change. Docs with < 2
+    tokens have no bigrams and drop out in both engines (slice of length 0
+    / empty generate_series).
+    """
+    d = _docs(spark, sf_dir)
+    bg = d.select(
+        "doc_id",
+        F.expr(f"{_TOK}").alias("t"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (u, v) -> struct(u, v))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.u").alias("u"), F.col("b.v").alias("v"))
+    c2 = bg.groupBy("u", "v").agg(F.count("*").alias("c2"))
+    cprev = c2.groupBy("u").agg(F.sum("c2").alias("cprev"))
+    surp = (
+        bg.join(F.broadcast(c2), ["u", "v"])
+        .join(F.broadcast(cprev), ["u"])
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(length(conv(cast(cprev div c2 as string), 10, 2)) - 1"
+                " as bigint)"
+            ).alias("s"),
+        )
+    )
+    per_doc = surp.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr(
+            "cast((10000 * sum(s)) div count(*) as bigint)"
+        ).alias("bigram_surprisal_bp"),
+    )
+    w = Window.orderBy(F.asc("bigram_surprisal_bp"), F.asc("doc_id"))
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "bigram_surprisal_bp",
+        F.ntile(3).over(w).alias("bucket"),
+    )
+
+
+LM_BIGRAM_SQL = rf"""
+WITH ta AS (
+  SELECT doc_id, {_TOK_DUCK} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest([{{'u': t[i - 1], 'v': t[i]}}
+                 for i in generate_series(2, len(t))],
+                recursive := true)
+  FROM ta
+),
+c2 AS (SELECT u, v, count(*) AS c2 FROM bg GROUP BY u, v),
+cprev AS (SELECT u, CAST(sum(c2) AS BIGINT) AS cprev FROM c2 GROUP BY u),
+surp AS (
+  SELECT doc_id,
+         CAST(length(printf('%b', cprev // c2)) - 1 AS BIGINT) AS s
+  FROM bg JOIN c2 USING (u, v) JOIN cprev USING (u)
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST((10000 * sum(s)) // count(*) AS BIGINT) AS bigram_surprisal_bp
+  FROM surp GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, bigram_surprisal_bp,
+       ntile(3) OVER (ORDER BY bigram_surprisal_bp ASC, doc_id ASC) AS bucket
+FROM per_doc
+"""
+
+
 # --- winnowing fingerprints ---------------------------------------------------
 
 WINNOW_K = 12   # k-gram length in chars (post whitespace-normalization)
@@ -843,6 +941,7 @@ QUERIES = {
     "rrf_hybrid_topk": rrf_hybrid_topk,
     "tfidf_top_terms": tfidf_top_terms,
     "perplexity_buckets": perplexity_buckets,
+    "lm_bigram_ppl": lm_bigram_ppl,
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_dup_spans": winnow_dup_spans,
     "winnow_scrub_stats": winnow_scrub_stats,
@@ -854,6 +953,7 @@ ORACLES = {
     "rrf_hybrid_topk": RRF_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "perplexity_buckets": PERPLEXITY_SQL,
+    "lm_bigram_ppl": LM_BIGRAM_SQL,
     "winnow_fingerprints": WINNOW_FP_SQL,
     "winnow_dup_spans": WINNOW_DUP_SQL,
     "winnow_scrub_stats": WINNOW_SCRUB_SQL,

@@ -337,3 +337,61 @@ def test_rrf_fusion_matches_python_recombination(spark):
     assert any(rl == 0 for _, rl, _, _ in got) or any(
         rd == 0 for _, _, rd, _ in got
     )
+
+
+def test_lm_bigram_ppl_matches_python_lm(spark):
+    """The trained bigram LM, recomputed in pure Python on the raw parquet:
+    c2/cprev counts, floor-log2 integer surprisal, per-doc basis-point mean,
+    tertile assignment — every row must match exactly."""
+    import duckdb
+
+    from forum_dl_spark.operators.ir import lm_bigram_ppl
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    bg_by_doc = {}
+    c2: dict = {}
+    cprev: dict = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        bg_by_doc[doc_id] = bgs
+        for b in bgs:
+            c2[b] = c2.get(b, 0) + 1
+            cprev[b[0]] = cprev.get(b[0], 0) + 1
+    per_doc = {}
+    for doc_id, bgs in bg_by_doc.items():
+        s = sum((cprev[u] // c2[(u, v)]).bit_length() - 1 for u, v in bgs)
+        per_doc[doc_id] = (len(bgs), (10000 * s) // len(bgs))
+    order = sorted(per_doc, key=lambda d: (per_doc[d][1], d))
+    n = len(order)
+    expect = {}
+    for i, d in enumerate(order):
+        # ntile(3): first n%3 buckets get the extra rows
+        q, r = divmod(n, 3)
+        b = 1 + (i // (q + 1) if i < (q + 1) * r else r + (i - (q + 1) * r) // q)
+        expect[d] = (*per_doc[d], b)
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.bigram_surprisal_bp, r.bucket)
+        for r in lm_bigram_ppl(spark, sf).collect()
+    }
+    assert got == expect
+
+
+def test_lm_bigram_ppl_plan_shape(spark):
+    """Bigram formation is a projection (no doc-keyed exchange before the
+    model aggregate), the count model joins in as broadcasts — no
+    SortMergeJoin / ShuffledHashJoin anywhere."""
+    from forum_dl_spark.operators.ir import lm_bigram_ppl
+
+    plan = (
+        lm_bigram_ppl(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
