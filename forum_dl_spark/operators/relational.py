@@ -298,6 +298,188 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+# --- events: ordered conversion funnel ---------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user completes
+    step k only with an event at-or-after their step-(k-1) completion time
+    (the ORDER is the point — a purchase before any view does not count,
+    which a naive per-type EXISTS gets wrong).
+
+    Step times are cascaded windowed minima over ONE user partitioning:
+    t1 = min(view ts), t2 = min(click ts ≥ t1), t3 = min(purchase ts ≥ t2)
+    — three Window ops + the per-user collapse all ride a single user_id
+    exchange (each consumes its predecessor's partitioning; plan-pinned:
+    exactly one hash exchange until the 1-row count collapse). Timestamp
+    comparisons are exact (microsecond integers), so both engines agree
+    bit-for-bit. Output: one row per step with the surviving-user count
+    and conversion from step 1 in integer basis points."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*FUNNEL_STEPS)
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.sum(F.col("t1").isNotNull().cast("long")).alias("n1"),
+        F.sum(F.col("t2").isNotNull().cast("long")).alias("n2"),
+        F.sum(F.col("t3").isNotNull().cast("long")).alias("n3"),
+    )
+    steps = ", ".join(
+        f"struct({i + 1} as step, '{s}' as step_name, n{i + 1} as n_users)"
+        for i, s in enumerate(FUNNEL_STEPS)
+    )
+    return counts.select(
+        F.explode(F.expr(f"array({steps})")).alias("x"), F.col("n1")
+    ).select(
+        F.col("x.step").alias("step"),
+        F.col("x.step_name").alias("step_name"),
+        F.col("x.n_users").cast("long").alias("n_users"),
+        F.expr("cast((10000 * x.n_users) div greatest(n1, 1) as bigint)").alias(
+            "conv_bp"
+        ),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH staged AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t1
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+staged2 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+             OVER (PARTITION BY user_id) AS t2
+  FROM staged
+),
+staged3 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+             OVER (PARTITION BY user_id) AS t3
+  FROM staged2
+),
+per_user AS (
+  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+  FROM staged3 GROUP BY user_id
+),
+counts AS (
+  SELECT CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM per_user
+)
+SELECT step, step_name, n_users,
+       CAST((10000 * n_users) // greatest(n1, 1) AS BIGINT) AS conv_bp
+FROM counts, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+     AS s(step, step_name),
+     LATERAL (SELECT CASE step WHEN 1 THEN n1 WHEN 2 THEN n2
+                     ELSE n3 END AS n_users)
+"""
+
+
+# --- events: cohort retention -------------------------------------------------
+
+RETENTION_MAX_OFFSET = 7
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users cohorted by their first 'signup'
+    day; for each cohort and day offset 0..7, the share of the cohort with
+    ANY event that day, in integer basis points.
+
+    Scale shape: cohorts are one user-keyed aggregate; the (user, day)
+    activity relation is a distinct over the scan; the cohort table is a
+    user-dimension relation — broadcast here, a user-keyed shuffle join at
+    web scale (no shape change); per-cohort sizes are a tiny broadcast.
+    Day arithmetic is integer (date - date), identical in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    )
+    size = cohort.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    joined = (
+        act.join(F.broadcast(cohort), "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(
+            (F.col("day_offset") >= 0)
+            & (F.col("day_offset") <= RETENTION_MAX_OFFSET)
+        )
+    )
+    ret = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    return ret.join(F.broadcast(size), "cohort_day").select(
+        "cohort_day",
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_active",
+        F.expr("cast((10000 * n_active) div cohort_size as bigint)").alias(
+            "retention_bp"
+        ),
+    )
+
+
+EVENTS_RETENTION_SQL = f"""
+WITH cohort AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+sz AS (
+  SELECT cohort_day, count(*) AS cohort_size FROM cohort GROUP BY cohort_day
+),
+act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+ret AS (
+  SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM act a JOIN cohort c USING (user_id)
+  WHERE a.day - c.cohort_day BETWEEN 0 AND {RETENTION_MAX_OFFSET}
+  GROUP BY 1, 2
+)
+SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset, n_active,
+       CAST((10000 * n_active) // cohort_size AS BIGINT) AS retention_bp
+FROM ret JOIN sz USING (cohort_day)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -306,6 +488,8 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
 }
 
 ORACLES = {
@@ -316,4 +500,6 @@ ORACLES = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_retention": EVENTS_RETENTION_SQL,
 }
