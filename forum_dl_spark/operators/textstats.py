@@ -983,6 +983,95 @@ SELECT source, gram, df, rank FROM ranked WHERE rank <= {TEMPLATE_TOPK}
 """
 
 
+
+# --- count-min sketch heavy hitters ---------------------------------------------
+#
+# The frequency-estimation sketch next to distinct_sketch's cardinality one
+# (Cormode & Muthukrishnan 2005): D=4 hash rows x W=1024 buckets of summed
+# counts; a token's estimate is the MIN over its D cells, which can only
+# OVER-estimate (collisions add, never subtract) — the one-sided error the
+# audit pins. Integer arithmetic on the shared md5->int32 hash throughout, so
+# the driver value-hash doubles as an estimator audit (the distinct_sketch /
+# ann_recall design).
+
+CMS_D = 4
+CMS_W = 1024
+CMS_TOPK = 20
+
+
+def _cms_cells_spark(tok_col: str) -> str:
+    """array<struct<d,b>>: the D sketch cells of a token."""
+    parts = ", ".join(
+        f"struct({d} as d, cast(conv(substring(md5(concat('cms{d}:', {tok_col})), 1, 8), 16, 10) as bigint) % {CMS_W} as b)"
+        for d in range(CMS_D)
+    )
+    return f"array({parts})"
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count vs count-min estimate for the corpus's top-K tokens.
+
+    Scale shape: exact token counts are the ONE corpus-sized exchange
+    (map-side combined; at 100 TB the exact branch is exactly what the
+    sketch replaces — it is kept because the operator IS the audit); the
+    sketch is built FROM the vocabulary-sized count relation (each token
+    contributes its D cells — a vocab x D explode, never corpus-sized),
+    collapsing to <= D*W rows that BROADCAST into the top-K probe; the
+    top-K cut is a TakeOrdered. CMS guarantee pinned: est >= exact always.
+    """
+    d = _docs(spark, sf_dir)
+    cnt = (
+        d.select(F.explode(F.expr(_TOK)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    cells = cnt.select(
+        "c", F.explode(F.expr(_cms_cells_spark("tok"))).alias("x")
+    ).select(F.col("x.d").alias("d"), F.col("x.b").alias("b"), "c")
+    sketch = cells.groupBy("d", "b").agg(F.sum("c").alias("cell"))
+    top = cnt.orderBy(F.desc("c"), F.asc("tok")).limit(CMS_TOPK)
+    probe = top.select(
+        "tok", "c", F.explode(F.expr(_cms_cells_spark("tok"))).alias("x")
+    ).select("tok", "c", F.col("x.d").alias("d"), F.col("x.b").alias("b"))
+    est = (
+        probe.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("tok", "c")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        F.col("c").alias("exact_count"),
+        "cms_est",
+        F.expr("cast((10000 * (cms_est - c)) div c as bigint)").alias(
+            "over_bp"
+        ),
+    )
+
+
+_CMS_CELLS_DUCK = " UNION ALL ".join(
+    f"SELECT tok, c, {d} AS d,"
+    f" cast(concat('0x', substring(md5(concat('cms{d}:', tok)), 1, 8)) as bigint)"
+    f" % {CMS_W} AS b FROM cnt"
+    for d in range(CMS_D)
+)
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (SELECT unnest({_TOK_DUCK}) AS tok FROM documents),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+cells AS ({_CMS_CELLS_DUCK}),
+sketch AS (SELECT d, b, CAST(sum(c) AS BIGINT) AS cell FROM cells GROUP BY d, b),
+top AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT {CMS_TOPK}),
+probe AS (SELECT * FROM cells WHERE tok IN (SELECT tok FROM top)),
+est AS (
+  SELECT p.tok, p.c, min(s.cell) AS cms_est
+  FROM probe p JOIN sketch s USING (d, b)
+  GROUP BY p.tok, p.c
+)
+SELECT tok, c AS exact_count, cms_est,
+       CAST((10000 * (cms_est - c)) // c AS BIGINT) AS over_bp
+FROM est
+"""
+
 QUERIES = {
     "chunk_documents": chunk_documents,
     "template_ngrams": template_ngrams,
@@ -996,6 +1085,7 @@ QUERIES = {
     "length_outliers": length_outliers,
     "source_overlap_matrix": source_overlap_matrix,
     "length_percentiles": length_percentiles,
+    "cms_heavy_hitters": cms_heavy_hitters,
 }
 
 ORACLES = {
@@ -1011,4 +1101,5 @@ ORACLES = {
     "length_outliers": LENGTH_OUTLIERS_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
     "length_percentiles": LENGTH_PERCENTILES_SQL,
+    "cms_heavy_hitters": CMS_HEAVY_HITTERS_SQL,
 }

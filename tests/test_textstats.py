@@ -492,3 +492,55 @@ def test_length_percentiles_plan_and_python(spark):
         for p in PCTS:
             k = (p * n + 99) // 100
             assert getattr(r, f"p{p}") == lens[k - 1], (src, p)
+
+
+def test_cms_estimate_matches_python_and_only_overestimates(spark):
+    """Pure-Python CMS replay (same md5 cells, same D x W table): the
+    estimate must match exactly, and the CMS one-sided guarantee must hold
+    (est >= exact for every probed token)."""
+    from forum_dl_spark.operators.textstats import (
+        CMS_D,
+        CMS_TOPK,
+        CMS_W,
+        cms_heavy_hitters,
+    )
+
+    toks = []
+    for t in pq.read_table(f"{SF_SMALL}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist():
+        toks.extend(x for x in t.lower().split() if x)
+    cnt: dict = {}
+    for t in toks:
+        cnt[t] = cnt.get(t, 0) + 1
+
+    def cell(d, tok):
+        h = int(hashlib.md5(f"cms{d}:{tok}".encode()).hexdigest()[:8], 16)
+        return h % CMS_W
+
+    sketch: dict = {}
+    for tok, c in cnt.items():
+        for d in range(CMS_D):
+            k = (d, cell(d, tok))
+            sketch[k] = sketch.get(k, 0) + c
+    top = sorted(cnt, key=lambda t: (-cnt[t], t))[:CMS_TOPK]
+    expect = {
+        tok: min(sketch[(d, cell(d, tok))] for d in range(CMS_D))
+        for tok in top
+    }
+
+    rows = cms_heavy_hitters(spark, SF_SMALL).collect()
+    assert len(rows) == CMS_TOPK
+    for r in rows:
+        assert r.cms_est == expect[r.tok], r
+        assert r.cms_est >= r.exact_count, r
+        assert r.over_bp == (10000 * (r.cms_est - r.exact_count)) // r.exact_count
+
+
+def test_cms_sketch_broadcast_no_smj(spark):
+    from forum_dl_spark.operators.textstats import cms_heavy_hitters
+
+    plan = _plan(cms_heavy_hitters(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
