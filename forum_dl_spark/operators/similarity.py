@@ -1128,6 +1128,176 @@ GROUP BY pqexact.query_id
 )
 
 
+# --- MMR diversified top-k ------------------------------------------------------
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): rerank a
+# retrieved shortlist so each pick balances closeness to the query against
+# redundancy with what is already picked — the dedup-at-selection-time
+# operator behind diverse eval-set draws and RAG context packing.
+#
+# The greedy loop is inherently sequential per query — the case the task
+# charter reserves for ``applyInPandas``: candidate GENERATION stays in
+# DataFrame land (broadcast queries, integer L2², per-query top-MMR_CAND
+# window), then each query group's <= MMR_CAND-row shortlist is reranked by
+# one vectorized pandas kernel (numpy integer pairwise matrix + K greedy
+# argmins — no per-row Python). Millions of queries parallelize across the
+# query_id grouping; the sequential part never exceeds the shortlist.
+#
+# Integer-exact contract: distances are integer L2² on the SQ_PRESCALE
+# floor-quantized vectors; with lambda = 1/2 the argmax of
+# lambda*(-dq) + (1-lambda)*min_dist_to_selected is the argmin of
+# (dq - min_dist_to_selected) — all integers, ties to the smaller
+# neighbor_id, so the pandas kernel and the statically-unrolled DuckDB
+# oracle (one CTE round per pick, the bpe_merges pattern) agree bit-for-bit.
+
+MMR_QUERIES = 5   # vec_id < 5 are the reranked queries
+MMR_CAND = 20     # shortlist depth entering the rerank
+MMR_K = 5         # picks per query
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _sq_quant(spark, sf_dir)
+    qs = e.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+    )
+    docs = e.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"))
+    dist = (
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (s, x) -> s + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dq"), F.asc("neighbor_id"))
+    cand = (
+        docs.crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dq", F.expr(dist))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_CAND)
+        .select("query_id", "neighbor_id", "dq", "qb")
+    )
+
+    def _select(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        v = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["qb"]])
+        dq = pdf["dq"].to_numpy(dtype=np.int64)
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        diff = v[:, None, :] - v[None, :, :]
+        pair = np.einsum("ijk,ijk->ij", diff, diff)
+        picked: list[int] = []
+        out = []
+        for rank in range(1, min(MMR_K, len(ids)) + 1):
+            if not picked:
+                score = dq
+                div = np.full(len(ids), -1, dtype=np.int64)
+            else:
+                div = pair[:, picked].min(axis=1)
+                score = dq - div
+            score = np.where(np.isin(np.arange(len(ids)), picked), np.iinfo(np.int64).max, score)
+            i = int(np.lexsort((ids, score))[0])
+            out.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    rank,
+                    int(ids[i]),
+                    int(dq[i]),
+                    None if rank == 1 else int(div[i]),
+                )
+            )
+            picked.append(i)
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "neighbor_id", "dist_q", "div_dist"]
+        ).astype({"div_dist": "Int64"})
+
+    return cand.groupBy("query_id").applyInPandas(
+        _select,
+        "query_id long, rank int, neighbor_id long, dist_q long, div_dist long",
+    )
+
+
+def _mmr_oracle_sql() -> str:
+    """Statically-unrolled greedy MMR (the bpe_merges pattern): one CTE
+    round per pick; round k scores every unpicked candidate by
+    dq - min(pairwise dist to the k-1 picks) and takes the (score, id)
+    argmin per query."""
+    rounds = []
+    unions = [
+        "SELECT query_id, neighbor_id, 1 AS rank, dq AS dist_q,"
+        " CAST(NULL AS BIGINT) AS div_dist FROM s1"
+    ]
+    sel = "SELECT query_id, neighbor_id FROM s1"
+    for k in range(2, MMR_K + 1):
+        rounds.append(f"""
+sel{k} AS ({sel}),
+s{k} AS (
+  SELECT query_id, neighbor_id, dq, md FROM (
+    SELECT c.query_id, c.neighbor_id, c.dq, m.md,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY c.dq - m.md, c.neighbor_id) AS rn
+    FROM mcand c
+    JOIN (SELECT p.query_id, p.x AS neighbor_id, min(p.dxy) AS md
+          FROM mpd p JOIN sel{k} s
+            ON p.query_id = s.query_id AND p.y = s.neighbor_id
+          GROUP BY 1, 2) m
+      ON c.query_id = m.query_id AND c.neighbor_id = m.neighbor_id
+    WHERE NOT EXISTS (SELECT 1 FROM sel{k} s2
+                      WHERE s2.query_id = c.query_id
+                        AND s2.neighbor_id = c.neighbor_id)
+  ) WHERE rn = 1
+)""")
+        unions.append(
+            f"SELECT query_id, neighbor_id, {k} AS rank, dq AS dist_q,"
+            f" md AS div_dist FROM s{k}"
+        )
+        sel += f" UNION ALL SELECT query_id, neighbor_id FROM s{k}"
+    return f"""
+WITH mq AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * {SQ_PRESCALE}) AS BIGINT)
+          for x in embedding] AS q
+  FROM embeddings
+),
+mdist AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.q AS qb,
+         CAST(list_sum([(a.q[i] - b.q[i]) * (a.q[i] - b.q[i])
+                        for i in generate_series(1, len(a.q))]) AS BIGINT)
+         AS dq
+  FROM mq a JOIN mq b ON a.vec_id < {MMR_QUERIES} AND a.vec_id != b.vec_id
+),
+mcand AS (
+  SELECT query_id, neighbor_id, qb, dq FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dq, neighbor_id) AS rn
+    FROM mdist
+  ) WHERE rn <= {MMR_CAND}
+),
+mpd AS (
+  SELECT a.query_id, a.neighbor_id AS x, b.neighbor_id AS y,
+         CAST(list_sum([(a.qb[i] - b.qb[i]) * (a.qb[i] - b.qb[i])
+                        for i in generate_series(1, len(a.qb))]) AS BIGINT)
+         AS dxy
+  FROM mcand a JOIN mcand b
+    ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+),
+s1 AS (
+  SELECT query_id, neighbor_id, dq FROM (
+    SELECT query_id, neighbor_id, dq,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dq, neighbor_id) AS rn
+    FROM mcand
+  ) WHERE rn = 1
+),{",".join(rounds).lstrip(",")}
+{" UNION ALL ".join(unions)}
+"""
+
+
+# (MMR_TOPK_SQL is materialized after the SQ block below — the oracle
+# reuses SQ_PRESCALE as its integer basis.)
+
+
 # --- scalar quantization (int8-per-dimension compression) ---------------------
 #
 # The OTHER classic vector-compression scheme next to PQ: each dimension is
@@ -1384,6 +1554,9 @@ GROUP BY sqexact.query_id
 )
 
 
+MMR_TOPK_SQL = _mmr_oracle_sql()
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -1401,6 +1574,7 @@ QUERIES = {
     "sq_codes": sq_codes,
     "sq_topk": sq_topk,
     "sq_recall": sq_recall,
+    "mmr_diversified_topk": mmr_diversified_topk,
     "embedding_neardup_cosine": embedding_neardup_cosine,
 }
 
@@ -1421,5 +1595,6 @@ ORACLES = {
     "sq_codes": SQ_CODES_SQL,
     "sq_topk": SQ_TOPK_SQL,
     "sq_recall": SQ_RECALL_SQL,
+    "mmr_diversified_topk": MMR_TOPK_SQL,
     "embedding_neardup_cosine": EMBEDDING_NEARDUP_SQL,
 }

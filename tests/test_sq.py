@@ -90,3 +90,111 @@ def test_sq_params_memoized_per_session(spark):
     assert a is b
     key = (spark.sparkContext.applicationId, SF)
     assert key in sim._SQ_PARAMS_MEMO
+
+
+# --- MMR diversified top-k -----------------------------------------------------
+
+
+def _mmr_python(sf):
+    """Independent greedy MMR replay on the raw parquet."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from forum_dl_spark.operators.similarity import (
+        MMR_CAND,
+        MMR_K,
+        MMR_QUERIES,
+        SQ_PRESCALE,
+    )
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        int(i): [math.floor(float(x) * SQ_PRESCALE) for x in v]
+        for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    out = {}
+    for q in range(MMR_QUERIES):
+        cand = sorted(
+            ((d2(vecs[q], v), i) for i, v in vecs.items() if i != q)
+        )[:MMR_CAND]
+        picked = []
+        rows = []
+        for rank in range(1, MMR_K + 1):
+            best = None
+            for dq, i in cand:
+                if i in picked:
+                    continue
+                div = (
+                    min(d2(vecs[i], vecs[j]) for j in picked) if picked else None
+                )
+                score = dq if div is None else dq - div
+                key = (score, i)
+                if best is None or key < best[0]:
+                    best = (key, i, dq, div)
+            rows.append((rank, best[1], best[2], best[3]))
+            picked.append(best[1])
+        out[q] = rows
+    return out
+
+
+def test_mmr_matches_python_greedy(spark):
+    from forum_dl_spark.operators.similarity import mmr_diversified_topk
+
+    expect = _mmr_python(SF)
+    got: dict = {}
+    for r in mmr_diversified_topk(spark, SF).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.neighbor_id, r.dist_q, r.div_dist)
+        )
+    for q in got:
+        got[q].sort()
+    assert got == expect
+
+
+def test_mmr_diversity_actually_bites(spark):
+    """The reranked pick set must differ from the plain distance top-K for
+    at least one query — otherwise the fixture isn't exercising the
+    redundancy penalty at all."""
+    from forum_dl_spark.operators.similarity import MMR_K, mmr_diversified_topk
+
+    expect = _mmr_python(SF)
+    plain_differs = False
+    import math
+
+    import pyarrow.parquet as pq
+
+    from forum_dl_spark.operators.similarity import MMR_QUERIES, SQ_PRESCALE
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        int(i): [math.floor(float(x) * SQ_PRESCALE) for x in v]
+        for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+    for q in range(MMR_QUERIES):
+        d = sorted(
+            (sum((x - y) * (x - y) for x, y in zip(vecs[q], v)), i)
+            for i, v in vecs.items()
+            if i != q
+        )
+        top_ids = {i for _, i in d[:MMR_K]}
+        mmr_ids = {i for _, i, _, _ in expect[q]}
+        if mmr_ids != top_ids:
+            plain_differs = True
+    assert plain_differs
+
+
+def test_mmr_plan_broadcast_candidates_then_pandas_kernel(spark):
+    from forum_dl_spark.operators.similarity import mmr_diversified_topk
+
+    plan = (
+        mmr_diversified_topk(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, plan
