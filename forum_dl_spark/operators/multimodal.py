@@ -229,6 +229,112 @@ FROM f, LATERAL (
 """
 
 
+# --- resize --------------------------------------------------------------------
+#
+# The remaining stage of the charter's multimodal list (decode /
+# feature-extract / RESIZE / frame-sample): nearest-neighbor downsample to a
+# fixed thumbnail. The codec boundary stays stubbed (decode_image), so the
+# "image" is the VIRTUAL raster over the payload — pixel(x, y) =
+# payload[(y*width + x) mod n_bytes] — which exercises exactly the real
+# kernel's shape: a per-row numpy gather indexed by the integer
+# nearest-neighbor map src = ((dst * src_dim) // DST_DIM), vectorized over
+# the Arrow batch, output = resized buffer + checksum. Map-only: the
+# thumbnail table inherits the media partitioning, nothing shuffles.
+# Integer-exact + hex-md5 outputs keep the DuckDB oracle closed-form.
+
+RESIZE_W = 16
+RESIZE_H = 12
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("src_w", LongType(), False),
+        StructField("src_h", LongType(), False),
+        StructField("dst_w", LongType(), False),
+        StructField("dst_h", LongType(), False),
+        StructField("resized_sum", LongType(), False),
+        StructField("resized_md5", StringType(), False),
+    ]
+)
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor thumbnail of every media payload's virtual raster:
+    one numpy gather per row (no per-pixel Python), emitting the resized
+    buffer's byte sum and checksum."""
+    media = synth_media(spark, sf_dir)
+
+    def resize(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            ys = np.arange(RESIZE_H)
+            xs = np.arange(RESIZE_W)
+            for mid, p, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                sy = (ys * int(h)) // RESIZE_H
+                sx = (xs * int(w)) // RESIZE_W
+                idx = (sy[:, None] * int(w) + sx[None, :]) % len(buf)
+                resized = buf[idx].ravel()
+                out["media_id"].append(int(mid))
+                out["src_w"].append(int(w))
+                out["src_h"].append(int(h))
+                out["dst_w"].append(RESIZE_W)
+                out["dst_h"].append(RESIZE_H)
+                out["resized_sum"].append(int(resized.sum()))
+                out["resized_md5"].append(
+                    hashlib.md5(resized.tobytes().hex().encode()).hexdigest()[:16]
+                )
+            yield pd.DataFrame(out).astype(
+                {k: "int64" for k in (
+                    "media_id", "src_w", "src_h", "dst_w", "dst_h", "resized_sum"
+                )}
+            )
+
+    return media.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+MEDIA_RESIZE_SQL = f"""
+WITH m AS (
+  SELECT id AS media_id,
+         md5('media:' || id) AS hexd,
+         16 + id % 16 AS reps,
+         256 + id % 256 AS cap,
+         64 + id % 64 AS w,
+         48 + id % 48 AS h
+  FROM range(0, 200) t(id)
+),
+b AS (
+  SELECT media_id, w, h,
+         LEAST(16 * reps, cap) AS n_bytes,
+         substring(repeat(hexd, reps), 1, 2 * LEAST(16 * reps, cap)) AS hexstr
+  FROM m
+),
+px AS (
+  SELECT media_id, w, h, y, x,
+         substring(hexstr,
+                   1 + 2 * ((((y * h) // {RESIZE_H}) * w
+                             + ((x * w) // {RESIZE_W})) % n_bytes),
+                   2) AS hexpair
+  FROM b,
+       LATERAL (SELECT unnest(generate_series(0, {RESIZE_H} - 1)) AS y) gy,
+       LATERAL (SELECT unnest(generate_series(0, {RESIZE_W} - 1)) AS x) gx
+)
+SELECT media_id,
+       CAST(w AS BIGINT) AS src_w,
+       CAST(h AS BIGINT) AS src_h,
+       CAST({RESIZE_W} AS BIGINT) AS dst_w,
+       CAST({RESIZE_H} AS BIGINT) AS dst_h,
+       CAST(sum(CAST(concat('0x', hexpair) AS INT)) AS BIGINT) AS resized_sum,
+       substring(md5(string_agg(hexpair, '' ORDER BY y, x)), 1, 16)
+         AS resized_md5
+FROM px GROUP BY media_id, w, h
+"""
+
+
 def crawl_discourse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiny end-to-end crawl returning the interleaved-spans documents table
     (the north-rule payload) — registered rows-only (no SQL oracle: the
@@ -414,6 +520,7 @@ WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
 QUERIES = {
     "media_features": media_features,
     "media_frame_sample": media_frame_sample,
+    "media_resize": media_resize,
     "media_phash_neardup": media_phash_neardup,
     "crawl_discourse_spans": crawl_discourse_spans,
     "crawl_phpbb_files": crawl_phpbb_files,
@@ -425,6 +532,7 @@ QUERIES = {
 # the 16 digest bytes (full repeats + remainder prefix). The two crawl
 # smokes stay rows-only (iterative stateful crawl, not SQL-expressible).
 ORACLES: dict[str, str] = {
+    "media_resize": MEDIA_RESIZE_SQL,
     "media_phash_neardup": MEDIA_PHASH_NEARDUP_SQL,
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "media_features": """

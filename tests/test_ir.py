@@ -395,3 +395,40 @@ def test_lm_bigram_ppl_plan_shape(spark):
     )
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_media_resize_exact_and_zero_exchange(spark):
+    """Nearest-neighbor thumbnail replayed in pure Python over the payload
+    spec (md5 digest repeated, capped), plus the map-only plan pin: the
+    thumbnail table inherits the media partitioning — no exchange."""
+    import hashlib as _hl
+
+    from forum_dl_spark.operators.multimodal import (
+        RESIZE_H,
+        RESIZE_W,
+        media_resize,
+    )
+
+    df = media_resize(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only exchange is synth_media's own round-robin fixture spread —
+    # the resize itself adds no hash/range exchange
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+    rows = {r.media_id: r for r in df.collect()}
+    assert len(rows) == 200
+    for mid in (0, 7, 63, 199):
+        h = _hl.md5(f"media:{mid}".encode()).digest()
+        payload = (h * (16 + mid % 16))[: 256 + mid % 256]
+        w, hgt = 64 + mid % 64, 48 + mid % 48
+        resized = bytes(
+            payload[(((y * hgt) // RESIZE_H) * w + ((x * w) // RESIZE_W))
+                    % len(payload)]
+            for y in range(RESIZE_H)
+            for x in range(RESIZE_W)
+        )
+        r = rows[mid]
+        assert (r.src_w, r.src_h, r.dst_w, r.dst_h) == (w, hgt, RESIZE_W, RESIZE_H)
+        assert r.resized_sum == sum(resized)
+        assert r.resized_md5 == _hl.md5(resized.hex().encode()).hexdigest()[:16]
