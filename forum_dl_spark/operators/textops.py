@@ -353,10 +353,10 @@ QF_MIN_ALPHA = 0.6
 QF_MIN_STOPWORD = 0.02
 
 
-def qf_keep_cond() -> F.Column:
-    """The C4-style keep predicate as a Column over a ``text`` column —
-    shared by quality_filter_apply and pipeline.corpus_pipeline_apply so
-    the two operators can never drift apart."""
+def qf_gate_conds() -> dict[str, F.Column]:
+    """The three C4-style gates as individual Columns over ``text`` —
+    the single source of truth ``qf_keep_cond`` ANDs together and
+    ``quality_ablation`` attributes separately (so they cannot drift)."""
     n = F.length("text")
     alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
     stop = F.expr(
@@ -364,11 +364,20 @@ def qf_keep_cond() -> F.Column:
         " x -> x in ('the','a','and','of','to','in')))"
     )
     n_tok = F.expr(r"size(filter(split(text, '\\s+'), x -> x != ''))")
-    return (
-        (F.round(alpha / F.greatest(n, F.lit(1)), 6) >= QF_MIN_ALPHA)
-        & (F.round(stop / F.greatest(n_tok, F.lit(1)), 6) >= QF_MIN_STOPWORD)
-        & n.between(QF_MIN_CHARS, QF_MAX_CHARS)
-    )
+    return {
+        "alpha": F.round(alpha / F.greatest(n, F.lit(1)), 6) >= QF_MIN_ALPHA,
+        "stopword": F.round(stop / F.greatest(n_tok, F.lit(1)), 6)
+        >= QF_MIN_STOPWORD,
+        "length": n.between(QF_MIN_CHARS, QF_MAX_CHARS),
+    }
+
+
+def qf_keep_cond() -> F.Column:
+    """The C4-style keep predicate as a Column over a ``text`` column —
+    shared by quality_filter_apply and pipeline.corpus_pipeline_apply so
+    the two operators can never drift apart."""
+    g = qf_gate_conds()
+    return g["alpha"] & g["stopword"] & g["length"]
 
 
 # the same predicate as a DuckDB WHERE body (shared for composition)
@@ -395,6 +404,110 @@ def quality_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_FILTER_SQL = f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE {QF_PRED_DUCK}
+"""
+
+
+# --- filter-ablation audit -------------------------------------------------------
+#
+# The Dolma/RefinedWeb-style gate-attribution audit: before shipping a
+# filter stack you want to know what each gate removes ALONE (its marginal
+# — the docs only it fails, which dropping that gate would re-admit) next
+# to its raw fail count (which overlaps with other gates). One conditional
+# aggregate over the corpus scan — zero joins, zero extra passes; the
+# 3-row output is an explode of the 1-row count vector (the events_funnel
+# shape). Gates come from qf_gate_conds(), the SAME Column objects
+# qf_keep_cond ANDs together, so the audit can never drift from the
+# filter it audits.
+
+
+def quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    g = qf_gate_conds()
+    names = list(g)  # alpha, stopword, length
+    flagged = d.select(
+        *[g[k].cast("long").alias(f"ok_{k}") for k in names]
+    )
+    aggs = [F.count("*").alias("n")]
+    for k in names:
+        aggs.append(F.sum(1 - F.col(f"ok_{k}")).alias(f"fail_{k}"))
+        others = [F.col(f"ok_{o}") for o in names if o != k]
+        only = (1 - F.col(f"ok_{k}")) * others[0] * others[1]
+        aggs.append(F.sum(only).alias(f"only_{k}"))
+    aggs.append(
+        F.sum(
+            F.col(f"ok_{names[0]}")
+            * F.col(f"ok_{names[1]}")
+            * F.col(f"ok_{names[2]}")
+        ).alias("keep")
+    )
+    counts = flagged.agg(*aggs)
+    rows = ", ".join(
+        f"struct('{k}' as gate, fail_{k} as n_fail, only_{k} as n_fail_only)"
+        for k in names
+    )
+    return counts.select(
+        F.explode(F.expr(f"array({rows})")).alias("x"), "n", "keep"
+    ).select(
+        F.col("x.gate").alias("gate"),
+        F.col("n").alias("n_docs"),
+        F.col("keep").alias("n_keep"),
+        F.col("x.n_fail").alias("n_fail"),
+        F.col("x.n_fail_only").alias("n_fail_only"),
+        F.expr("cast((10000 * x.n_fail) div n as bigint)").alias("fail_bp"),
+        F.expr("cast((10000 * x.n_fail_only) div n as bigint)").alias(
+            "marginal_bp"
+        ),
+    )
+
+
+_QF_GATES_DUCK = {
+    "alpha": rf"""round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+            / greatest(length(text), 1), 6) >= {QF_MIN_ALPHA}""",
+    "stopword": rf"""round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x in ('the','a','and','of','to','in')))
+            / greatest(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x != '')), 1), 6)
+      >= {QF_MIN_STOPWORD}""",
+    "length": f"length(text) BETWEEN {QF_MIN_CHARS} AND {QF_MAX_CHARS}",
+}
+
+QUALITY_ABLATION_SQL = f"""
+WITH flags AS (
+  SELECT CASE WHEN {_QF_GATES_DUCK['alpha']} THEN 1 ELSE 0 END AS ok_alpha,
+         CASE WHEN {_QF_GATES_DUCK['stopword']} THEN 1 ELSE 0 END AS ok_stopword,
+         CASE WHEN {_QF_GATES_DUCK['length']} THEN 1 ELSE 0 END AS ok_length
+  FROM documents
+),
+counts AS (
+  SELECT count(*) AS n,
+         CAST(sum(1 - ok_alpha) AS BIGINT) AS fail_alpha,
+         CAST(sum((1 - ok_alpha) * ok_stopword * ok_length) AS BIGINT)
+           AS only_alpha,
+         CAST(sum(1 - ok_stopword) AS BIGINT) AS fail_stopword,
+         CAST(sum((1 - ok_stopword) * ok_alpha * ok_length) AS BIGINT)
+           AS only_stopword,
+         CAST(sum(1 - ok_length) AS BIGINT) AS fail_length,
+         CAST(sum((1 - ok_length) * ok_alpha * ok_stopword) AS BIGINT)
+           AS only_length,
+         CAST(sum(ok_alpha * ok_stopword * ok_length) AS BIGINT) AS keep
+  FROM flags
+)
+SELECT g.gate, n AS n_docs, keep AS n_keep,
+       CASE g.gate WHEN 'alpha' THEN fail_alpha
+                   WHEN 'stopword' THEN fail_stopword
+                   ELSE fail_length END AS n_fail,
+       CASE g.gate WHEN 'alpha' THEN only_alpha
+                   WHEN 'stopword' THEN only_stopword
+                   ELSE only_length END AS n_fail_only,
+       CAST((10000 * (CASE g.gate WHEN 'alpha' THEN fail_alpha
+                                  WHEN 'stopword' THEN fail_stopword
+                                  ELSE fail_length END)) // n AS BIGINT)
+         AS fail_bp,
+       CAST((10000 * (CASE g.gate WHEN 'alpha' THEN only_alpha
+                                  WHEN 'stopword' THEN only_stopword
+                                  ELSE only_length END)) // n AS BIGINT)
+         AS marginal_bp
+FROM counts, (VALUES ('alpha'), ('stopword'), ('length')) AS g(gate)
 """
 
 
@@ -1282,6 +1395,7 @@ QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
     "quality_filter_apply": quality_filter_apply,
+    "quality_ablation": quality_ablation,
     "token_topk": token_topk,
     "ngram_lm_topk": ngram_lm_topk,
     "bpe_first_merges": bpe_first_merges,
@@ -1306,6 +1420,7 @@ ORACLES = {
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
     "quality_filter_apply": QUALITY_FILTER_SQL,
+    "quality_ablation": QUALITY_ABLATION_SQL,
     "token_topk": TOKEN_TOPK_SQL,
     "ngram_lm_topk": NGRAM_LM_TOPK_SQL,
     "bpe_first_merges": BPE_FIRST_MERGES_SQL,

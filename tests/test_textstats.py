@@ -544,3 +544,61 @@ def test_cms_sketch_broadcast_no_smj(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quality_ablation_python_recount_and_consistency(spark):
+    """Pure-Python gate replay at sf0.001 plus the anti-drift invariant:
+    the audit's n_keep equals the filter EMIT's row count (both built from
+    qf_gate_conds)."""
+    from forum_dl_spark.operators.textops import (
+        QF_MAX_CHARS,
+        QF_MIN_ALPHA,
+        QF_MIN_CHARS,
+        QF_MIN_STOPWORD,
+        quality_ablation,
+        quality_filter_apply,
+    )
+
+    texts = pq.read_table(
+        f"{SF_SMALL}/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    stopw = {"the", "a", "and", "of", "to", "in"}
+    fails = {"alpha": 0, "stopword": 0, "length": 0}
+    only = {"alpha": 0, "stopword": 0, "length": 0}
+    keep = 0
+    for t in texts:
+        n = len(t)
+        alpha_ok = round(sum(c.isalpha() and c.isascii() for c in t) / max(n, 1), 6) >= QF_MIN_ALPHA
+        toks = [x for x in t.split() if x]
+        st = sum(1 for x in t.lower().split() if x in stopw)
+        stop_ok = round(st / max(len(toks), 1), 6) >= QF_MIN_STOPWORD
+        len_ok = QF_MIN_CHARS <= n <= QF_MAX_CHARS
+        ok = {"alpha": alpha_ok, "stopword": stop_ok, "length": len_ok}
+        keep += all(ok.values())
+        for g in fails:
+            if not ok[g]:
+                fails[g] += 1
+                if all(v for k, v in ok.items() if k != g):
+                    only[g] += 1
+
+    rows = {r.gate: r for r in quality_ablation(spark, SF_SMALL).collect()}
+    assert set(rows) == {"alpha", "stopword", "length"}
+    n_docs = len(texts)
+    for g, r in rows.items():
+        assert r.n_docs == n_docs
+        assert r.n_keep == keep
+        assert r.n_fail == fails[g], (g, r.n_fail, fails[g])
+        assert r.n_fail_only == only[g], (g, r.n_fail_only, only[g])
+        assert r.n_fail_only <= r.n_fail
+        assert r.fail_bp == (10000 * r.n_fail) // n_docs
+        assert r.marginal_bp == (10000 * r.n_fail_only) // n_docs
+    assert rows["alpha"].n_keep == quality_filter_apply(spark, SF_SMALL).count()
+
+
+def test_quality_ablation_single_pass_no_join(spark):
+    from forum_dl_spark.operators.textops import quality_ablation
+
+    plan = _plan(quality_ablation(spark, SF_SMALL))
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
