@@ -68,6 +68,20 @@ def stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained streaming quality filter == the batch quality_filter_apply
+    (stateless map-only stream, so equality is exact by construction; the
+    oracle IS the batch operator's SQL — anti-drift by reuse)."""
+    from ..streaming import run_available_now, stream_quality_filter
+
+    res = run_available_now(
+        stream_quality_filter(spark, sf_dir),
+        f"gate_stream_qf_{next(_SEQ)}",
+        "append",
+    )
+    return res.select("doc_id", "lang", "source", "n_chars")
+
+
 def stream_post_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiny crawl + streamed windowed post counts over its parsed deltas —
     rows-only (the stream source is the crawl's output, not a SQL view)."""
@@ -91,6 +105,7 @@ QUERIES = {
     "stream_dedup_exact": stream_dedup_exact_q,
     "stream_sessionize": stream_sessionize_q,
     "stream_post_counts": stream_post_counts_q,
+    "stream_quality_filter": stream_quality_filter_q,
 }
 
 ORACLES = {
@@ -102,3 +117,7 @@ ORACLES = {
 from .relational import EVENTS_SESSIONIZE_SQL  # noqa: E402
 
 ORACLES["stream_sessionize"] = EVENTS_SESSIONIZE_SQL
+
+from .textops import QUALITY_FILTER_SQL  # noqa: E402
+
+ORACLES["stream_quality_filter"] = QUALITY_FILTER_SQL

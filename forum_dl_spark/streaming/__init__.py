@@ -154,6 +154,24 @@ def stream_dedup_exact(
     return src.select(norm.alias("fingerprint")).dropDuplicates(["fingerprint"])
 
 
+def stream_quality_filter(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """The C4 quality gate in the STREAMING ingest path: the exact same
+    ``qf_keep_cond`` Column the batch ``quality_filter_apply`` uses,
+    applied to the documents stream — map-only, so the streaming query is
+    STATELESS (no state store, no watermark needed; each micro-batch
+    filters independently) and drained-stream == batch is exact by
+    construction. This is the operator that lets a crawl's parsed deltas
+    be quality-gated as they land instead of in a nightly batch pass."""
+    from ..operators.textops import qf_keep_cond
+
+    src = source if source is not None else docs_stream(spark, sf_dir)
+    return src.filter(qf_keep_cond()).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -93,3 +93,24 @@ def test_stream_dedup_exact_equals_batch_distinct(spark):
     # the planted duplicate feed (first 20 docs twice) was dropped: the
     # stream saw docs.count()+20 rows but emitted exactly the distinct set
     assert len(got) <= docs.count()
+
+
+def test_stream_quality_filter_equals_batch_and_stateless(spark):
+    """Drained streaming quality gate == batch quality_filter_apply row set
+    (same qf_keep_cond Column — anti-drift by construction), and the
+    streaming plan is STATELESS: no state-store operator appears."""
+    from forum_dl_spark.operators.textops import quality_filter_apply
+    from forum_dl_spark.streaming import (
+        run_available_now,
+        stream_quality_filter,
+    )
+
+    sdf = stream_quality_filter(spark, SF)
+    res = run_available_now(sdf, "t_stream_qf", "append")
+    got = {tuple(r) for r in res.collect()}
+    want = {tuple(r) for r in quality_filter_apply(spark, SF).collect()}
+    assert got == want and got
+
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    for stateful in ("Deduplicate", "Aggregate", "FlatMapGroupsWithState"):
+        assert stateful not in plan, plan
