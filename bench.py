@@ -98,6 +98,9 @@ QUERY_SF_OVERRIDE = {
     "dedup_clusters_star": SMALL_SF_DIR,
     "stream_dedup_exact": SMALL_SF_DIR,
     "stream_sessionize": SMALL_SF_DIR,
+    # same rationale as the two drains above: AvailableNow fixed overhead
+    # dominates at both sfs (the op itself is a stateless map)
+    "stream_quality_filter": SMALL_SF_DIR,
 }
 # total wall-clock target for the WHOLE bench (analytics + scaling pairs).
 # The driver's observed kill window is ~60 min (BENCH_r04 rc=124 at the
