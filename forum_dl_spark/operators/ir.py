@@ -435,7 +435,9 @@ def lm_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan with the broadcast hints dropped becomes the standard KenLM
     count-join (gram-keyed shuffle join), no shape change. Docs with < 2
     tokens have no bigrams and drop out in both engines (slice of length 0
-    / empty generate_series).
+    / empty generate_series). The global ntile carries the same caveat as
+    perplexity_buckets: at 100 TB the production cut is two broadcast
+    tertile boundaries; the ntile here doubles as that cut's oracle.
     """
     d = _docs(spark, sf_dir)
     bg = d.select(
