@@ -981,28 +981,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of ADC-over-codes vs exact integer L2² brute force on the
     same quantized vectors — what the 64× compression costs in accuracy."""
-    from pyspark.sql import Window
-
-    e = _pq_quant(spark, sf_dir)
-    a = e.filter(F.col("vec_id") % CL_ID_STRIDE == 0).alias("a")
-    b = e.alias("b")
-    dist = (
-        "aggregate(zip_with(a.q, b.q, (x, y) -> (x - y) * (x - y)),"
-        " cast(0 as bigint), (s, x) -> s + x)"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
-    exact = (
-        a.crossJoin(b)
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            F.expr(dist).alias("dist"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id")
-    )
+    exact = _pq_exact_topk(spark, sf_dir)
     ann = pq_topk(spark, sf_dir).select(
         F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
     )
@@ -1123,6 +1102,252 @@ SELECT pqexact.query_id,
 FROM pqexact LEFT JOIN pqtopk
   ON pqexact.query_id = pqtopk.query_id
  AND pqexact.neighbor_id = pqtopk.neighbor_id
+GROUP BY pqexact.query_id
+"""
+)
+
+
+# --- IVF+PQ: the composed index (FAISS IVFPQ shape) ---------------------------
+#
+# The capstone of the ANN ladder: IVF's candidate bound (each query touches
+# only its probed cells, never the full table) COMPOSED with PQ's memory
+# bound (the scan ranks 8 small ints per vector, never the floats) — the
+# shape of a production 100 TB vector index (Jégou et al., TPAMI 2011 §V).
+#
+# Integer-exact contract throughout, one stricter than ivf_topk: the coarse
+# quantizer here assigns by integer L2² on the floor-quantized vectors
+# (FAISS's default coarse metric) instead of float cosine, so assignment,
+# probing, ADC, and the oracle are all exact integer arithmetic —
+# hash-identical across engines and partitionings.
+#
+# Scale shape — BOTH codebooks are driver-side literals (tiny by design:
+# coarse K×dim + PQ M×K×sub scalars), so the database side is ONE narrow
+# codegen projection over the vector scan (assign pid + encode codes, no
+# exchange, improving on ivf_topk's window-based assignment); the probe
+# relation (queries × NPROBE rows carrying each query's precomputed M×K ADC
+# table) is BROADCAST into the pid-equijoin; the only hash exchange in the
+# plan is the per-query top-k window.
+
+IVFPQ_NPROBE = 2
+
+
+def _ivfpq_pivots(spark: SparkSession, sf_dir: str) -> list:
+    """Driver-side coarse codebook: the quantized pivot member of each
+    planted cluster, sorted so pid = cluster id (K×dim integer scalars —
+    the same legitimate tiny-control-state collect as ``_pq_codebook``)."""
+    rows = (
+        _pq_quant(spark, sf_dir)
+        .filter(F.col("vec_id") % CL_ID_STRIDE == IVF_PIVOT_M)
+        .collect()
+    )
+    return [list(q) for _, q in sorted((int(r["vec_id"]), r["q"]) for r in rows)]
+
+
+def _ivfpq_coarse_arr(pivots: list) -> str:
+    """SQL expr: array of integer L2² distances from column ``q`` to each
+    coarse pivot (pid = array position - 1)."""
+    ds = []
+    for vec in pivots:
+        arr = "array(" + ",".join(f"{int(x)}L" for x in vec) + ")"
+        ds.append(
+            f"aggregate(zip_with(q, {arr}, (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as bigint), (s, x) -> s + x)"
+        )
+    return "array(" + ",".join(ds) + ")"
+
+
+def _ivfpq_base(spark: SparkSession, sf_dir: str, cb, sub: int, pivots: list) -> DataFrame:
+    """(vec_id, q, cd, ds0..ds{M-1}): coarse-pivot distance array + the
+    per-subspace codeword distance arrays, one narrow projection (each
+    expensive aggregate its own column — the ``_pq_with_ds`` CSE recipe)."""
+    return _pq_quant(spark, sf_dir).select(
+        "vec_id",
+        "q",
+        F.expr(_ivfpq_coarse_arr(pivots)).alias("cd"),
+        *[
+            F.expr(_pq_dist_arr(m, cb[m], sub)).alias(f"ds{m}")
+            for m in range(PQ_M)
+        ],
+    )
+
+
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ search: queries probe their IVFPQ_NPROBE nearest coarse cells
+    (integer L2², ties to the smaller pid) and rank ONLY those cells'
+    members, by ADC over the PQ codes only."""
+    from pyspark.sql import Window
+
+    cb, sub = _pq_codebook(spark, sf_dir)
+    pivots = _ivfpq_pivots(spark, sf_dir)
+    base = _ivfpq_base(spark, sf_dir, cb, sub, pivots)
+    code_parts = [
+        f"cast(array_position(ds{m}, array_min(ds{m})) - 1 as int)"
+        for m in range(PQ_M)
+    ]
+    docs = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr("array(" + ",".join(code_parts) + ")").alias("codes"),
+        F.expr("cast(array_position(cd, array_min(cd)) - 1 as int)").alias("pid"),
+    )
+    dt = "array(" + ",".join(f"ds{m}" for m in range(PQ_M)) + ")"
+    probes = (
+        "slice(array_sort(transform(cd, (d, i) -> struct(d as dd, i as pid))),"
+        f" 1, {IVFPQ_NPROBE})"
+    )
+    qs = (
+        base.filter(F.col("vec_id") % CL_ID_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(dt).alias("dt"),
+            F.explode(F.expr(probes)).alias("pr"),
+        )
+        .select("query_id", "dt", F.col("pr.pid").alias("qpid"))
+    )
+    pairs = docs.join(
+        F.broadcast(qs),
+        (F.col("pid") == F.col("qpid"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    adc = (
+        f"aggregate(sequence(1, {PQ_M}), cast(0 as bigint),"
+        " (s, m) -> s + element_at(element_at(dt, m),"
+        " element_at(codes, m) + 1))"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("adc_dist", F.expr(adc))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def _pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-L2² brute-force top-k on the quantized vectors — the
+    recall denominator shared by pq_recall and ivf_pq_recall."""
+    from pyspark.sql import Window
+
+    e = _pq_quant(spark, sf_dir)
+    a = e.filter(F.col("vec_id") % CL_ID_STRIDE == 0).alias("a")
+    b = e.alias("b")
+    dist = (
+        "aggregate(zip_with(a.q, b.q, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (s, x) -> s + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.expr(dist).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the composed IVF+PQ index vs exact integer L2² brute
+    force — what the candidate bound AND the 32× compression together cost."""
+    exact = _pq_exact_topk(spark, sf_dir)
+    ann = ivf_pq_topk(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hit = exact.join(
+        ann,
+        (exact.query_id == F.col("aq")) & (exact.neighbor_id == F.col("an")),
+        "left",
+    ).select("query_id", F.col("an").isNotNull().cast("int").alias("hit"))
+    return hit.groupBy("query_id").agg(
+        F.round(F.sum("hit") / F.count("*"), 6).alias("recall")
+    )
+
+
+_DUCK_IVFPQ_CTES = f"""
+ivfpiv AS (
+  SELECT CAST(vec_id // {CL_ID_STRIDE} AS int) AS pid, d, qx AS px
+  FROM cql WHERE vec_id % {CL_ID_STRIDE} = {IVF_PIVOT_M}
+),
+ivfdist AS (
+  SELECT c.vec_id, p.pid,
+         CAST(sum((c.qx - p.px) * (c.qx - p.px)) AS BIGINT) AS dd
+  FROM cql c JOIN ivfpiv p ON c.d = p.d
+  GROUP BY 1, 2
+),
+ivfassign AS (
+  SELECT vec_id, pid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, pid) AS rn
+    FROM ivfdist
+  ) WHERE rn = 1
+),
+ivfprobes AS (
+  SELECT vec_id AS query_id, pid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, pid) AS rn
+    FROM ivfdist WHERE vec_id % {CL_ID_STRIDE} = 0
+  ) WHERE rn <= {IVFPQ_NPROBE}
+),
+ivfpqadc AS (
+  SELECT qp.query_id, c.vec_id AS neighbor_id,
+         CAST(sum(qd.dd) AS BIGINT) AS adc_dist
+  FROM pqcode c
+  JOIN ivfassign a ON a.vec_id = c.vec_id
+  JOIN ivfprobes qp ON qp.pid = a.pid AND c.vec_id != qp.query_id
+  JOIN pqd qd ON qd.vec_id = qp.query_id AND qd.m = c.m AND qd.code = c.code
+  GROUP BY 1, 2
+),
+ivfpqtopk AS (
+  SELECT query_id, neighbor_id, rank, adc_dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, neighbor_id) AS rank
+    FROM ivfpqadc
+  ) WHERE rank <= {TOP_K}
+)
+"""
+
+IVFPQ_TOPK_SQL = (
+    _DUCK_CLUSTERED_CTE
+    + ",\n"
+    + _DUCK_PQ_CTES.strip()
+    + ",\n"
+    + _DUCK_IVFPQ_CTES.strip()
+    + "\nSELECT query_id, neighbor_id, rank, adc_dist FROM ivfpqtopk"
+)
+
+_DUCK_PQ_EXACT_CTE = f"""
+pqexact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY sum((a.qx - b.qx) * (a.qx - b.qx)),
+                                       b.vec_id) AS rank
+    FROM cql a JOIN cql b ON a.d = b.d
+    WHERE a.vec_id % {CL_ID_STRIDE} = 0 AND b.vec_id != a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+  ) WHERE rank <= {TOP_K}
+)
+"""
+
+IVFPQ_RECALL_SQL = (
+    _DUCK_CLUSTERED_CTE
+    + ",\n"
+    + _DUCK_PQ_CTES.strip()
+    + ",\n"
+    + _DUCK_IVFPQ_CTES.strip()
+    + ",\n"
+    + _DUCK_PQ_EXACT_CTE.strip()
+    + """
+SELECT pqexact.query_id,
+       round(CAST(sum(CASE WHEN ivfpqtopk.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+       AS recall
+FROM pqexact LEFT JOIN ivfpqtopk
+  ON pqexact.query_id = ivfpqtopk.query_id
+ AND pqexact.neighbor_id = ivfpqtopk.neighbor_id
 GROUP BY pqexact.query_id
 """
 )
@@ -1574,6 +1799,8 @@ QUERIES = {
     "sq_codes": sq_codes,
     "sq_topk": sq_topk,
     "sq_recall": sq_recall,
+    "ivf_pq_topk": ivf_pq_topk,
+    "ivf_pq_recall": ivf_pq_recall,
     "mmr_diversified_topk": mmr_diversified_topk,
     "embedding_neardup_cosine": embedding_neardup_cosine,
 }
@@ -1595,6 +1822,8 @@ ORACLES = {
     "sq_codes": SQ_CODES_SQL,
     "sq_topk": SQ_TOPK_SQL,
     "sq_recall": SQ_RECALL_SQL,
+    "ivf_pq_topk": IVFPQ_TOPK_SQL,
+    "ivf_pq_recall": IVFPQ_RECALL_SQL,
     "mmr_diversified_topk": MMR_TOPK_SQL,
     "embedding_neardup_cosine": EMBEDDING_NEARDUP_SQL,
 }

@@ -511,6 +511,182 @@ FROM counts, (VALUES ('alpha'), ('stopword'), ('length')) AS g(gate)
 """
 
 
+# --- Gopher rule-stack quality filter -----------------------------------------
+#
+# The second industry-standard heuristic stack next to the C4 gate: the
+# Gopher rules (Rae et al. 2021, §A1.1 "quality filtering") — word-count
+# bounds, mean-word-length bounds, symbol-to-word ratio, bullet-/ellipsis-
+# line shares, alphabetic-word share, and the >=2-distinct-stop-words rule.
+# The stop LIST is the fixture corpus's function words (the same six the C4
+# stopword gate uses — Gopher's English list would be degenerate on the
+# synthetic vocabulary); the RULE (>=2 distinct present as tokens) is
+# Gopher's. Every gate is an exact integer cross-multiplied comparison (no
+# FP anywhere), so both engines decide every row identically.
+#
+# Scale shape: per-doc flags are ONE narrow map-only projection over the
+# documents scan (string ops only — no shuffle, no join, no UDF); the
+# agreement matrix adds one conditional aggregate. Map-only at 100 TB.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3   # mean word length lower bound (chars/word)
+GOPHER_MAX_MWL = 10
+GOPHER_STOPS = ("the", "a", "and", "of", "to", "in")
+
+_G_WORDS = "filter(split(text, '\\\\s+'), x -> x != '')"
+_G_LINES = "split(text, '\\n')"
+
+
+def gopher_gate_conds() -> dict[str, F.Column]:
+    """The seven Gopher gates as individual Columns over ``text`` — the
+    single source of truth shared by ``gopher_rules`` and the agreement
+    matrix (the ``qf_gate_conds`` anti-drift recipe)."""
+    nw = F.expr(f"size({_G_WORDS})")
+    wch = F.expr(
+        f"aggregate({_G_WORDS}, cast(0 as bigint), (s, x) -> s + length(x))"
+    )
+    nl = F.expr(f"size({_G_LINES})")
+    nbul = F.expr(
+        f"size(filter({_G_LINES},"
+        " l -> l like '-%' or l like '*%' or l like '•%'))"
+    )
+    nellend = F.expr(f"size(filter({_G_LINES}, l -> l like '%...'))")
+    nsym = F.expr(
+        "(length(text) - length(replace(text, '#', '')))"
+        " + (length(text) - length(replace(text, '...', ''))) div 3"
+    )
+    nalpha = F.expr(
+        "size(filter(split(text, '\\\\s+'), x -> x rlike '[a-zA-Z]'))"
+    )
+    nstop = F.expr(
+        " + ".join(
+            "(case when array_contains(split(lower(text), '\\\\s+'),"
+            f" '{s}') then 1 else 0 end)"
+            for s in GOPHER_STOPS
+        )
+    )
+    return {
+        "words": nw.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS),
+        "mean_wl": (wch >= GOPHER_MIN_MWL * nw) & (wch <= GOPHER_MAX_MWL * nw),
+        "symbol": (F.lit(10) * nsym) <= nw,
+        "bullet": (F.lit(10) * nbul) <= F.lit(9) * nl,
+        "ellipsis": (F.lit(10) * nellend) <= F.lit(3) * nl,
+        "alpha": (F.lit(5) * nalpha) >= F.lit(4) * nw,
+        "stop": nstop >= F.lit(2),
+    }
+
+
+_GOPHER_KEYS = (
+    "words", "mean_wl", "symbol", "bullet", "ellipsis", "alpha", "stop"
+)
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher gate flags + the combined keep decision."""
+    d = _docs(spark, sf_dir)
+    g = gopher_gate_conds()
+    flagged = d.select(
+        "doc_id", *[g[k].cast("int").alias(f"ok_{k}") for k in _GOPHER_KEYS]
+    )
+    keep = " * ".join(f"ok_{k}" for k in _GOPHER_KEYS)
+    return flagged.withColumn("keep", F.expr(f"cast({keep} as int)"))
+
+
+# DuckDB mirror: the raw per-doc counters once (f), the gate flags over
+# them (g) — both reused verbatim by the agreement matrix below.
+_GOPHER_F_DUCK = r"""
+f AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x != '')) AS nw,
+         coalesce(list_sum(list_transform(
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''),
+             x -> length(x))), 0) AS wch,
+         len(string_split(text, chr(10))) AS nl,
+         len(list_filter(string_split(text, chr(10)),
+                         l -> l LIKE '-%' OR l LIKE '*%'
+                              OR l LIKE '""" + "•" + r"""%')) AS nbul,
+         len(list_filter(string_split(text, chr(10)),
+                         l -> l LIKE '%...')) AS nellend,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3 AS nsym,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> regexp_matches(x, '[a-zA-Z]'))) AS nalpha,
+         """ + " + ".join(
+    "(CASE WHEN list_contains(regexp_split_to_array(lower(text),"
+    f" '\\s+'), '{s}') THEN 1 ELSE 0 END)"
+    for s in GOPHER_STOPS
+) + r""" AS nstop
+  FROM documents
+)"""
+
+_GOPHER_G_DUCK = f"""
+g AS (
+  SELECT doc_id,
+         CASE WHEN nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+              THEN 1 ELSE 0 END AS ok_words,
+         CASE WHEN wch >= {GOPHER_MIN_MWL} * nw
+               AND wch <= {GOPHER_MAX_MWL} * nw THEN 1 ELSE 0 END AS ok_mean_wl,
+         CASE WHEN 10 * nsym <= nw THEN 1 ELSE 0 END AS ok_symbol,
+         CASE WHEN 10 * nbul <= 9 * nl THEN 1 ELSE 0 END AS ok_bullet,
+         CASE WHEN 10 * nellend <= 3 * nl THEN 1 ELSE 0 END AS ok_ellipsis,
+         CASE WHEN 5 * nalpha >= 4 * nw THEN 1 ELSE 0 END AS ok_alpha,
+         CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS ok_stop
+  FROM f
+)"""
+
+GOPHER_RULES_SQL = (
+    "WITH "
+    + _GOPHER_F_DUCK.strip()
+    + ",\n"
+    + _GOPHER_G_DUCK.strip()
+    + f"""
+SELECT doc_id, {', '.join('ok_' + k for k in _GOPHER_KEYS)},
+       {' * '.join('ok_' + k for k in _GOPHER_KEYS)} AS keep
+FROM g
+"""
+)
+
+
+def filter_stack_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 agreement matrix between the Gopher stack and the C4 gate —
+    the audit run before swapping one quality filter for another: how many
+    docs each stack keeps that the other drops. Reuses the SAME gate
+    Column objects as ``gopher_rules`` and ``quality_filter_apply``
+    (anti-drift); one conditional aggregate over the scan."""
+    d = _docs(spark, sf_dir)
+    g = gopher_gate_conds()
+    gopher = None
+    for k in _GOPHER_KEYS:
+        gopher = g[k] if gopher is None else gopher & g[k]
+    return (
+        d.select(
+            gopher.cast("int").alias("gopher_keep"),
+            qf_keep_cond().cast("int").alias("c4_keep"),
+        )
+        .groupBy("gopher_keep", "c4_keep")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+FILTER_STACK_AGREEMENT_SQL = (
+    "WITH "
+    + _GOPHER_F_DUCK.strip()
+    + ",\n"
+    + _GOPHER_G_DUCK.strip()
+    + f""",
+m AS (
+  SELECT g.doc_id,
+         {' * '.join('ok_' + k for k in _GOPHER_KEYS)} AS gopher_keep,
+         CASE WHEN {QF_PRED_DUCK} THEN 1 ELSE 0 END AS c4_keep
+  FROM g JOIN documents USING (doc_id)
+)
+SELECT gopher_keep, c4_keep, CAST(count(*) AS BIGINT) AS n_docs
+FROM m GROUP BY 1, 2
+"""
+)
+
+
 def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Datasheets for datasets' rollup — the one-page per-source summary a
     corpus release ships with: doc/lang counts, token and char totals,
@@ -1396,6 +1572,8 @@ QUERIES = {
     "quality_score": quality_score,
     "quality_filter_apply": quality_filter_apply,
     "quality_ablation": quality_ablation,
+    "gopher_rules": gopher_rules,
+    "filter_stack_agreement": filter_stack_agreement,
     "token_topk": token_topk,
     "ngram_lm_topk": ngram_lm_topk,
     "bpe_first_merges": bpe_first_merges,
@@ -1421,6 +1599,8 @@ ORACLES = {
     "quality_score": QUALITY_SQL,
     "quality_filter_apply": QUALITY_FILTER_SQL,
     "quality_ablation": QUALITY_ABLATION_SQL,
+    "gopher_rules": GOPHER_RULES_SQL,
+    "filter_stack_agreement": FILTER_STACK_AGREEMENT_SQL,
     "token_topk": TOKEN_TOPK_SQL,
     "ngram_lm_topk": NGRAM_LM_TOPK_SQL,
     "bpe_first_merges": BPE_FIRST_MERGES_SQL,
