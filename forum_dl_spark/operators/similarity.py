@@ -1353,6 +1353,91 @@ GROUP BY pqexact.query_id
 )
 
 
+# --- embedding pre-flight QC --------------------------------------------------
+#
+# The vector-table audit every similarity/ANN stage above assumes has
+# already passed: row count, dimension constancy, NaN and all-zero vectors
+# (both break cosine silently — zero norm divides, NaN poisons every
+# distance), and the norm² distribution (p50/p99 exact order statistics on
+# the 1e4-quantized norm — un-normalized outliers dominate dot-product
+# retrieval).  Norm² is a left-fold in array order, so the double is
+# bit-identical across engines; the quantized BIGINT makes the percentile
+# comparison integer-exact.
+#
+# Scale shape: one narrow projection + one global aggregate for the
+# counts; the exact percentiles ride ONE single-partition window over
+# (vec_id, nq) pairs only — the honest exact-quantile cost (at 100 TB the
+# drop-in is approx_percentile on the same nq column; kept exact here
+# because the operator IS the audit and must hash-match the oracle).
+
+
+def embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    per = e.select(
+        "vec_id",
+        F.expr("size(v)").cast("long").alias("dim"),
+        F.expr("exists(v, x -> isnan(x))").cast("long").alias("has_nan"),
+        F.expr("forall(v, x -> x = 0.0d)").cast("long").alias("is_zero"),
+        F.expr(
+            "cast(floor(aggregate(v, cast(0 as double),"
+            " (s, x) -> s + x * x) * 10000) as bigint)"
+        ).alias("nq"),
+    )
+    w = Window.orderBy("nq", "vec_id")
+    ranked = per.select(
+        "dim",
+        "has_nan",
+        "is_zero",
+        "nq",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.sum("has_nan").alias("n_nan_vecs"),
+        F.sum("is_zero").alias("n_zero_vecs"),
+        F.max(F.expr("case when rn = ((50 * n) + 99) div 100 then nq end")).alias(
+            "normsq_q_p50"
+        ),
+        F.max(F.expr("case when rn = ((99 * n) + 99) div 100 then nq end")).alias(
+            "normsq_q_p99"
+        ),
+    )
+
+
+EMBEDDING_QC_SQL = """
+WITH per AS (
+  SELECT vec_id,
+         CAST(len(v) AS BIGINT) AS dim,
+         CASE WHEN len(list_filter(v, x -> isnan(x))) > 0
+              THEN 1 ELSE 0 END AS has_nan,
+         CASE WHEN len(list_filter(v, x -> x != 0.0)) = 0
+              THEN 1 ELSE 0 END AS is_zero,
+         CAST(floor(list_reduce(list_transform(v, x -> x * x),
+                                (s, x) -> s + x) * 10000)
+              AS BIGINT) AS nq
+  FROM (SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings)
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY nq, vec_id) AS rn,
+         count(*) OVER () AS n
+  FROM per
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       min(dim) AS dim_min,
+       max(dim) AS dim_max,
+       CAST(sum(has_nan) AS BIGINT) AS n_nan_vecs,
+       CAST(sum(is_zero) AS BIGINT) AS n_zero_vecs,
+       max(CASE WHEN rn = ((50 * n) + 99) // 100 THEN nq END) AS normsq_q_p50,
+       max(CASE WHEN rn = ((99 * n) + 99) // 100 THEN nq END) AS normsq_q_p99
+FROM ranked
+"""
+
+
 # --- MMR diversified top-k ------------------------------------------------------
 #
 # Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): rerank a
@@ -1801,6 +1886,7 @@ QUERIES = {
     "sq_recall": sq_recall,
     "ivf_pq_topk": ivf_pq_topk,
     "ivf_pq_recall": ivf_pq_recall,
+    "embedding_qc": embedding_qc,
     "mmr_diversified_topk": mmr_diversified_topk,
     "embedding_neardup_cosine": embedding_neardup_cosine,
 }
@@ -1824,6 +1910,7 @@ ORACLES = {
     "sq_recall": SQ_RECALL_SQL,
     "ivf_pq_topk": IVFPQ_TOPK_SQL,
     "ivf_pq_recall": IVFPQ_RECALL_SQL,
+    "embedding_qc": EMBEDDING_QC_SQL,
     "mmr_diversified_topk": MMR_TOPK_SQL,
     "embedding_neardup_cosine": EMBEDDING_NEARDUP_SQL,
 }

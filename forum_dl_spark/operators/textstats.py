@@ -960,6 +960,81 @@ def template_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-document n-gram novelty --------------------------------------------------
+#
+# The dataset-ordering / curriculum audit: when the corpus is consumed in
+# doc_id order (the deterministic ingestion order), how much of each
+# document's n-gram content is NEW at the point it arrives?  Late documents
+# full of already-seen n-grams are the redundancy a curriculum or a
+# near-dedup pass would drop; the per-doc novelty share is the signal
+# dataset-pruning papers (e.g. D4, SemDeDup follow-ups) threshold on.
+# First occurrence is min(doc_id) over each gram — the same one-aggregate
+# trick as heaps_curve, here kept per-document instead of per-decile.
+#
+# Scale shape: three key-changing exchanges, each linear in distinct
+# (doc, gram) pairs — the pair-distinct (map-side combined), the gram-keyed
+# window that marks first owners (NO self-join back onto the gram
+# relation), and the doc-keyed rollup.  Fixed-width gram strings only past
+# the first projection; the text column never shuffles.
+
+NOVELTY_N = 3
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    n = NOVELTY_N
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.expr(_TOK).alias("w")).filter(
+        F.size("w") >= n
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(w, i, {n})))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    owned = grams.withColumn(
+        "owner", F.min("doc_id").over(Window.partitionBy("gram"))
+    )
+    return owned.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum((F.col("doc_id") == F.col("owner")).cast("long")).alias(
+            "n_novel"
+        ),
+        F.expr(
+            "cast((10000 * sum(case when doc_id = owner then 1 else 0 end))"
+            " div count(*) as bigint)"
+        ).alias("novelty_bp"),
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_DUCK} AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, i + {NOVELTY_N - 1}), ' ') AS gram
+  FROM toks, unnest(range(1, len(w) - {NOVELTY_N - 2})) AS r(i)
+  WHERE len(w) >= {NOVELTY_N}
+),
+owned AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY gram) AS owner FROM grams
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST((10000 * sum(CASE WHEN doc_id = owner THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS novelty_bp
+FROM owned GROUP BY doc_id
+"""
+
+
 TEMPLATE_NGRAMS_SQL = f"""
 WITH toks AS (
   SELECT doc_id, source, {_TOK_DUCK} AS w FROM documents
@@ -1075,6 +1150,7 @@ FROM est
 QUERIES = {
     "chunk_documents": chunk_documents,
     "template_ngrams": template_ngrams,
+    "ngram_novelty": ngram_novelty,
     "distinct_sketch": distinct_sketch,
     "pmi_top_pairs": pmi_top_pairs,
     "zipf_histogram": zipf_histogram,
@@ -1091,6 +1167,7 @@ QUERIES = {
 ORACLES = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "template_ngrams": TEMPLATE_NGRAMS_SQL,
+    "ngram_novelty": NGRAM_NOVELTY_SQL,
     "distinct_sketch": DISTINCT_SKETCH_SQL,
     "pmi_top_pairs": PMI_TOP_PAIRS_SQL,
     "zipf_histogram": ZIPF_HISTOGRAM_SQL,
