@@ -209,6 +209,20 @@ def test_gopher_rules_plan_is_map_only(spark):
     assert "Join" not in plan, plan
 
 
+def test_agreement_matrix_plan_single_scan_no_join(spark):
+    """Both keep predicates are Columns over the SAME documents scan —
+    one pass, one aggregate, no join."""
+    from forum_dl_spark.operators.textops import filter_stack_agreement
+
+    plan = (
+        filter_stack_agreement(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+
+
 def test_agreement_matrix_consistent_with_flags(spark):
     """The 2x2 matrix totals equal the corpus size and its gopher margin
     equals the per-doc keep counts — matrix and flags cannot drift."""

@@ -127,6 +127,17 @@ def test_embedding_qc_matches_pure_python_replay(spark):
     assert {k: int(v) for k, v in got.items()} == want
 
 
+def test_ngram_novelty_plan_no_join(spark):
+    """First-owner marking is a gram-keyed window over the distinct pair
+    relation — never a self-join back onto it; the text column is gone
+    after the first projection."""
+    from forum_dl_spark.operators.textstats import ngram_novelty
+
+    plan = ngram_novelty(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
 def test_embedding_qc_plan_no_join(spark):
     """One projection + one percentile window + one aggregate — no join
     anywhere (the audit must not be more expensive than what it audits)."""
