@@ -938,11 +938,37 @@ LEFT JOIN cnt c USING (doc_id)
 )
 
 
+# --- perplexity-filter EMIT ---------------------------------------------------
+
+
+def ppl_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet EMIT: keep the head + middle perplexity buckets, drop the
+    tail (Wenzek et al. 2020 §4.3 — CCNet ships head/middle and discards
+    the worst-scoring third). Companion to ``quality_filter_apply`` (the
+    heuristic C4 gate) and ``dsir_apply`` (the target-distribution gate):
+    this is the LM-scored gate of the standard filter ladder.
+
+    Plan shape: exactly ``perplexity_buckets``'s plan + one filter — the
+    oracle embeds PERPLEXITY_SQL verbatim (anti-drift by reuse, the
+    corpus_pipeline_apply design). The same 100 TB note applies: the
+    ntile becomes a broadcast two-boundary quantile cut at scale, and the
+    filter then pushes into the scoring scan."""
+    return perplexity_buckets(spark, sf_dir).filter(F.col("bucket") <= 2)
+
+
+PPL_FILTER_SQL = (
+    "SELECT doc_id, n_tokens, surprisal_bp, bucket FROM ("
+    + PERPLEXITY_SQL
+    + ") pb WHERE bucket <= 2"
+)
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
     "rrf_hybrid_topk": rrf_hybrid_topk,
     "tfidf_top_terms": tfidf_top_terms,
     "perplexity_buckets": perplexity_buckets,
+    "ppl_filter_apply": ppl_filter_apply,
     "lm_bigram_ppl": lm_bigram_ppl,
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_dup_spans": winnow_dup_spans,
@@ -955,6 +981,7 @@ ORACLES = {
     "rrf_hybrid_topk": RRF_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "perplexity_buckets": PERPLEXITY_SQL,
+    "ppl_filter_apply": PPL_FILTER_SQL,
     "lm_bigram_ppl": LM_BIGRAM_SQL,
     "winnow_fingerprints": WINNOW_FP_SQL,
     "winnow_dup_spans": WINNOW_DUP_SQL,

@@ -517,11 +517,73 @@ WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
 """
 
 
+# --- near-dup media clustering -----------------------------------------------
+
+
+def media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup media CLUSTERS: the multimodal counterpart of the text
+    side's ``dedup_clusters`` — phash LSH pairs (``media_phash_neardup``)
+    closed under connected components, each edge-incident medium labeled
+    with its component min id and the component size. This is the unit a
+    dedup EMIT keeps one survivor from (min-id convention shared with
+    every text dedup operator).
+
+    Scale shape: reuses ``pipeline.connected_components`` (pointer-jumping
+    CC, O(log n) label-only rounds, edge relation localCheckpointed once);
+    the node universe is EDGE-INCIDENT media only — near-dup graphs at
+    corpus scale are overwhelmingly singletons, and materializing a
+    self-labeled row per singleton medium would dwarf the interesting
+    output. cluster_size rides one cluster_id-keyed window over the label
+    table (|nodes| rows, not |media|)."""
+    from pyspark.sql import Window
+
+    from .pipeline import connected_components
+
+    pairs = media_phash_neardup(spark, sf_dir).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels, _rounds = connected_components(pairs, nodes)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("doc_id").alias("media_id"),
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+    )
+
+
+MEDIA_DEDUP_CLUSTERS_SQL = rf"""
+WITH RECURSIVE pairs AS (
+  SELECT media_a, media_b FROM ({MEDIA_PHASH_NEARDUP_SQL}) q
+),
+sym AS (
+  SELECT media_a AS src, media_b AS dst FROM pairs
+  UNION
+  SELECT media_b AS src, media_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS media_id FROM sym),
+reach(src, dst) AS (
+  SELECT media_id, media_id FROM nodes
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+lab AS (SELECT src AS media_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT media_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM lab
+"""
+
+
 QUERIES = {
     "media_features": media_features,
     "media_frame_sample": media_frame_sample,
     "media_resize": media_resize,
     "media_phash_neardup": media_phash_neardup,
+    "media_dedup_clusters": media_dedup_clusters,
     "crawl_discourse_spans": crawl_discourse_spans,
     "crawl_phpbb_files": crawl_phpbb_files,
 }
@@ -534,6 +596,7 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "media_resize": MEDIA_RESIZE_SQL,
     "media_phash_neardup": MEDIA_PHASH_NEARDUP_SQL,
+    "media_dedup_clusters": MEDIA_DEDUP_CLUSTERS_SQL,
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "media_features": """
 WITH m AS (

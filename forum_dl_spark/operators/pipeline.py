@@ -1331,6 +1331,69 @@ FROM hold WHERE score > (SELECT th FROM best)"""
 )
 
 
+# --- deterministic training shuffle -----------------------------------------
+#
+# The last stage of every training-data pipeline: a global shuffle of the
+# corpus into S shards with a deterministic within-shard order, so the
+# training job reads shard files in (shard, pos) order and sees a fixed,
+# reproducible permutation. RNG-free: the permutation key is a content
+# hash (md5 of a salted doc_id), so the SAME manifest comes out of any
+# partitioning, any cluster size, and any engine — the property the
+# samplers above (stratified/bottom-k/mix) already rely on.
+
+NSHUF_SHARDS = 16
+
+_SHUF_H_SPARK = (
+    "cast(conv(substring(md5(concat('shuf:', cast(doc_id as string))), 1, 8),"
+    " 16, 10) as bigint)"
+)
+_SHUF_H_DUCK = (
+    "cast(concat('0x', substring(md5(concat('shuf:', cast(doc_id as varchar))),"
+    " 1, 8)) as bigint)"
+)
+
+
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order shuffle manifest: (doc_id, shard, pos).
+
+    shard = h % S, pos = dense 1..n_s rank of h within the shard
+    (tie-broken by doc_id, so collisions cannot make the order
+    engine-dependent).
+
+    Scale shape: ONE hash exchange on ``shard`` + a per-shard sort — the
+    window is partitioned S ways, so there is NO single-partition global
+    window anywhere in the plan (pinned); each shard's sort is
+    |corpus|/S rows. At 100 TB you raise S until a shard fits an
+    executor's sort buffer (S is a manifest constant, not a semantics
+    change: the permutation within a shard is independent of S only
+    through the hash, so re-sharding re-deals docs but every (S, corpus)
+    pair is still deterministic). This is exactly
+    ``repartition(S).sortWithinPartitions`` expressed declaratively — the
+    writer-side shape a training job wants."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    df = d.select("doc_id", F.expr(_SHUF_H_SPARK).alias("_h")).withColumn(
+        "shard", (F.col("_h") % NSHUF_SHARDS).cast("bigint")
+    )
+    w = Window.partitionBy("shard").orderBy(F.asc("_h"), F.asc("doc_id"))
+    return df.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+SHUFFLE_SHARDS_SQL = f"""
+SELECT doc_id,
+       cast({_SHUF_H_DUCK} % {NSHUF_SHARDS} AS BIGINT) AS shard,
+       cast(row_number() OVER (
+            PARTITION BY {_SHUF_H_DUCK} % {NSHUF_SHARDS}
+            ORDER BY {_SHUF_H_DUCK} ASC, doc_id ASC) AS BIGINT) AS pos
+FROM documents
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
@@ -1345,6 +1408,7 @@ QUERIES = {
     "quality_classifier_eval": quality_classifier_eval,
     "quality_classifier_apply": quality_classifier_apply,
     "kmeans_assign": kmeans_assign,
+    "shuffle_shards": shuffle_shards,
 }
 
 ORACLES = {
@@ -1361,4 +1425,5 @@ ORACLES = {
     "quality_classifier_eval": NBQ_EVAL_SQL,
     "quality_classifier_apply": NBQ_APPLY_SQL,
     "kmeans_assign": _km_oracle_sql(),
+    "shuffle_shards": SHUFFLE_SHARDS_SQL,
 }
