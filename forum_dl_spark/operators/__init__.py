@@ -17,13 +17,14 @@ Modules:
 - graph:       link-graph analytics (integer-exact iterative PageRank)
 - textstats:   chunking, cardinality sketch, PMI, Zipf histogram, fertility
 - mixing:      temperature mixture weights + token-budgeted source draw
+- audits:      index/batching/versioning/leakage dataset-engineering audits
 """
 
-from . import (corpus, dedup, graph, ir, mixing, multimodal, pipeline,
-               relational, similarity, streamq, textops, textstats)
+from . import (audits, corpus, dedup, graph, ir, mixing, multimodal,
+               pipeline, relational, similarity, streamq, textops, textstats)
 
 _MODULES = [relational, dedup, textops, similarity, multimodal, pipeline,
-            streamq, corpus, ir, graph, textstats, mixing]
+            streamq, corpus, ir, graph, textstats, mixing, audits]
 
 
 def all_queries():
