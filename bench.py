@@ -60,6 +60,7 @@ BENCH_EXCLUDE = {
     "crawl_corpus_quality",
     "pagerank_crawl",
     "recrawl_delta",
+    "sft_pairs",
     "stream_post_counts",
 }
 

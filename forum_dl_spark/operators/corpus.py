@@ -102,9 +102,65 @@ def recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res2.diff(k1, k2).select("change", "type", "url")
 
 
+def sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-pair EMIT: the training-data product a forum crawl
+    uniquely provides — (prompt, response) adjacent-turn pairs from the
+    crawl's REAL thread structure, the raw material for SFT/dialogue
+    corpora. For each thread, post k is paired with post k+1 in reference
+    emission order (``ord`` — fixed-width hex, so string order == the
+    reference's sequential crawl order); ``turn`` is the 0-based pair
+    index. Text is the flattened text-span sequence (same kernel as
+    ``corpus_from_crawl``). Discourse topics are linear reply chains so
+    adjacency IS the reply relation; tree-shaped engines (the mail
+    family) would instead join on the parent subpath — same plan, one
+    extra projection.
+
+    Scale shape: ONE thread-keyed exchange; both lag() columns and the
+    row_number ride a single window spec (one sort). Threads are
+    pagination-bounded, so per-key skew is capped by the engine itself.
+    Rows-only like the other crawl smokes (iterative stateful crawl);
+    the pairing is pinned against the reference simulation's item list in
+    tests/test_sft_pairs.py. Reference parity: forum-dl emits posts in
+    this exact order into its writers (extractors/common.py traversal);
+    the pairing is the downstream-consumer step the reference stops
+    short of."""
+    from pyspark.sql import Window
+
+    from ._fixture import fixture_discourse_crawl
+
+    res = fixture_discourse_crawl(spark)
+    text = F.expr(
+        "concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'),"
+        " s -> s.text))"
+    )
+    posts = (
+        res.items()
+        .filter(F.col("type") == "post")
+        .select(
+            F.array_join("path", ".").alias("thread_id"),
+            F.col("ord"),
+            F.col("author"),
+            text.alias("text"),
+        )
+    )
+    w = Window.partitionBy("thread_id").orderBy("ord")
+    return (
+        posts.select(
+            "thread_id",
+            (F.row_number().over(w) - 2).cast("long").alias("turn"),
+            F.lag("author").over(w).alias("prompt_author"),
+            F.lag("text").over(w).alias("prompt_text"),
+            F.col("author").alias("response_author"),
+            F.col("text").alias("response_text"),
+        )
+        .filter(F.col("turn") >= 0)
+    )
+
+
 QUERIES = {
     "crawl_corpus_quality": crawl_corpus_quality,
     "recrawl_delta": recrawl_delta,
+    "sft_pairs": sft_pairs,
 }
 
 # rows-only: the producing crawl is iterative/stateful (see module

@@ -480,6 +480,95 @@ FROM ret JOIN sz USING (cohort_day)
 """
 
 
+# --- events: per-host politeness gap audit ---------------------------------
+
+# Gap threshold under which two consecutive fetches from the same host key
+# count as a politeness violation. The fixture events table is a days-scale
+# activity log, so the threshold is an hour; a production crawler audits its
+# pages/trace table with this same plan at a seconds-scale threshold (the
+# crawl loop ENFORCES budgets online, politeness.py — this is the offline
+# verification pass over the recorded fetch log).
+POLITENESS_MIN_GAP_MS = 3_600_000
+
+
+def politeness_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host inter-fetch gap audit over a fetch log: fetch count, the
+    minimum and exact-median gap in integer milliseconds, and how many
+    gaps violate the politeness threshold. Hosts with a single fetch have
+    no gaps and are (correctly) absent.
+
+    Gaps are integer microsecond differences (``timestampdiff`` /
+    ``epoch_us`` — the events_asof_join idiom, NTZ-safe with no timezone
+    in play), so the ceil-rank median pick (the ``length_percentiles``
+    idiom — no interpolation) and the threshold compare are identical
+    bit-for-bit in both engines.
+
+    Scale shape: the lag window, the rank window and the final rollup all
+    ride ONE host-keyed hash exchange (the rename-preserving partitioning
+    — plan-pinned: exactly one hashpartitioning Exchange, no join). A
+    mega-host skews its partition exactly like pack_sequences' mega-source
+    — same salting remedy; gaps-per-host is politeness-bounded anyway."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "ts", F.lag("ts").over(wt).alias("prev_ts"))
+        # the host_id alias happens ABOVE the window so the user_id hash
+        # partitioning survives the rename (alias-aware output partitioning)
+        # and the rank window + rollup ride the same exchange
+        .select(
+            F.col("user_id").alias("host_id"),
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    wr = Window.partitionBy("host_id").orderBy("gap_us")
+    ranked = gaps.select(
+        "host_id",
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy("host_id")).alias("n"),
+    )
+    return ranked.groupBy("host_id").agg(
+        (F.count("*") + F.lit(1)).cast("long").alias("n_fetches"),
+        F.expr("min(gap_us) div 1000").alias("min_gap_ms"),
+        F.expr(
+            "max(case when rn = ((50 * n) + 99) div 100 then gap_us end)"
+            " div 1000"
+        ).alias("p50_gap_ms"),
+        F.sum(
+            # threshold to µs in PYTHON — a 32-bit Spark literal times 1000
+            # would wrap (3.6e9 > 2^31)
+            (F.col("gap_us") < F.lit(POLITENESS_MIN_GAP_MS * 1000)).cast("long")
+        ).alias("n_violations"),
+    )
+
+
+POLITENESS_GAP_SQL = f"""
+WITH g AS (
+  SELECT user_id AS host_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+ranked AS (
+  SELECT host_id, gap_us,
+         row_number() OVER (PARTITION BY host_id ORDER BY gap_us) AS rn,
+         count(*) OVER (PARTITION BY host_id) AS n
+  FROM g WHERE gap_us IS NOT NULL
+)
+SELECT host_id,
+       CAST(count(*) + 1 AS BIGINT) AS n_fetches,
+       CAST(min(gap_us) // 1000 AS BIGINT) AS min_gap_ms,
+       CAST(max(CASE WHEN rn = ((50 * n) + 99) // 100 THEN gap_us END) // 1000
+            AS BIGINT) AS p50_gap_ms,
+       CAST(count(CASE WHEN gap_us < {POLITENESS_MIN_GAP_MS}000::BIGINT
+                  THEN 1 END) AS BIGINT) AS n_violations
+FROM ranked GROUP BY host_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -490,6 +579,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
+    "politeness_gap_audit": politeness_gap_audit,
 }
 
 ORACLES = {
@@ -502,4 +592,5 @@ ORACLES = {
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
+    "politeness_gap_audit": POLITENESS_GAP_SQL,
 }

@@ -299,6 +299,135 @@ WHERE doc_id % {_CONTAM_MOD} <> {_CONTAM_RES}
 """
 
 
+# --- contamination: bloom-prefilter variant ----------------------------------
+
+# Bloom size in BITS (k=2 hash probes = two disjoint md5 slices). Sized so
+# the fixture corpus exercises BOTH regimes: at sf0.01 the eval side sets
+# ~5.8k/131k bits (load 0.044, fp/probe ~2e-3 → a visible-but-small
+# false-positive tail for the audit columns); at sf0.1 load ~0.4 (fp ~0.15
+# — heavy but harmless: the verify join trims candidates exactly). In
+# production m is sized at ~10-15 bits/key like the crawl's URL-seen bloom
+# (crawl/bloom.py) — the point is that the broadcast is bounded by m BITS
+# (16 KiB here), not by the eval suite's shingle-string volume.
+_BLOOM_M = 131072
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``contamination_ngram``'s own 100 TB scale path, made concrete: the
+    benchmark shingle set is summarized into a BLOOM FILTER whose bit
+    words are inlined as a plan literal (the broadcast is m bits, fixed,
+    instead of the eval suite's full shingle strings), the training scan
+    is prefiltered by pure bit arithmetic (map-only, zero-join, inside
+    codegen), and only the bloom survivors meet the exact benchmark set
+    in a broadcast verify join. Output per training doc that passes the
+    bloom: ``n_candidates`` (distinct shingles the bloom admitted) next
+    to ``n_hits`` (exactly verified) — the false-positive overhead is
+    part of the audit, and blooms have no false negatives, so ``n_hits``
+    per doc equals ``contamination_ngram``'s (test-pinned).
+
+    The bit positions are deterministic integer arithmetic (two md5
+    slices mod m), so DuckDB reconstructs the SAME filter as a position
+    set and the value hash covers the bloom itself, false positives
+    included — same trick as the crawl's bit-identical bloom prefilter
+    (tests/test_politeness_bloom_resume.py).
+
+    Scale shape: one bounded collect builds the words (eval side only —
+    the kmeans-centroid / dsir-weights precedent); the training side is
+    scan → map-only bloom filter → broadcast verify join → ONE doc-keyed
+    aggregate (distinct folded into countDistinct). Plan-pinned: no
+    SortMergeJoin, exactly one BroadcastHashJoin, bloom filter below it."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.expr(r"filter(split(text, '\\s+'), x -> x != '')").alias("t")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"case when size(t) < {_CONTAM_N} "
+                f"then cast(array() as array<string>) "
+                f"else transform(sequence(1, size(t) - {_CONTAM_N} + 1), "
+                f"i -> concat_ws(' ', slice(t, i, {_CONTAM_N}))) end"
+            )
+        ).alias("s"),
+    )
+    hashes = sh.select(
+        "doc_id",
+        "s",
+        F.expr(
+            f"cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) % {_BLOOM_M}"
+        ).alias("p1"),
+        F.expr(
+            f"cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint) % {_BLOOM_M}"
+        ).alias("p2"),
+    )
+    is_bench = F.col("doc_id") % _CONTAM_MOD == _CONTAM_RES
+
+    # bounded driver-side build of the bit words: eval suites are small by
+    # construction (same argument as contamination_ngram's broadcast)
+    pos_rows = (
+        hashes.filter(is_bench)
+        .select(F.explode(F.array("p1", "p2")).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (_BLOOM_M // 64)
+    for r in pos_rows:
+        words[r.p // 64] |= 1 << (r.p % 64)
+    # two's-complement into signed 64-bit so the longs survive as Spark
+    # BIGINT literals
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    bit = (
+        "((shiftright(_bloom[cast({p} div 64 as int)],"
+        " cast({p} % 64 as int))) & 1) = 1"
+    )
+    cand = (
+        hashes.filter(~is_bench)
+        .withColumn("_bloom", F.lit(words))
+        .filter(F.expr(bit.format(p="p1")) & F.expr(bit.format(p="p2")))
+        .select("doc_id", "s")
+    )
+    bench = (
+        sh.filter(is_bench).select("s").distinct().withColumn("_hit", F.lit(1))
+    )
+    return (
+        cand.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("s").alias("n_candidates"),
+            F.count_distinct(
+                F.when(F.col("_hit") == 1, F.col("s"))
+            ).alias("n_hits"),
+        )
+    )
+
+
+CONTAM_BLOOM_SQL = rf"""
+WITH {_CONTAM_CTES},
+hashes AS (
+  SELECT doc_id, s,
+         CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) % {_BLOOM_M} AS p1,
+         CAST(concat('0x', substring(md5(s), 9, 8)) AS BIGINT) % {_BLOOM_M} AS p2
+  FROM sh
+),
+pos AS (
+  SELECT DISTINCT p FROM (
+    SELECT p1 AS p FROM hashes WHERE doc_id % {_CONTAM_MOD} = {_CONTAM_RES}
+    UNION
+    SELECT p2 FROM hashes WHERE doc_id % {_CONTAM_MOD} = {_CONTAM_RES})
+)
+SELECT doc_id,
+       CAST(count(DISTINCT s) AS BIGINT) AS n_candidates,
+       CAST(count(DISTINCT CASE WHEN s IN (SELECT s FROM bench) THEN s END)
+            AS BIGINT) AS n_hits
+FROM hashes
+WHERE doc_id % {_CONTAM_MOD} <> {_CONTAM_RES}
+  AND p1 IN (SELECT p FROM pos) AND p2 IN (SELECT p FROM pos)
+GROUP BY doc_id
+"""
+
+
 # --- per-source quality rollup ----------------------------------------------
 
 
@@ -1584,6 +1713,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "spans_interleave": spans_interleave,
     "contamination_ngram": contamination_ngram,
+    "contamination_bloom": contamination_bloom,
     "decontaminate_apply": decontaminate_apply,
     "source_quality_rollup": source_quality_rollup,
     "corpus_datasheet": corpus_datasheet,
@@ -1611,6 +1741,7 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "spans_interleave": SPANS_INTERLEAVE_SQL,
     "contamination_ngram": CONTAMINATION_SQL,
+    "contamination_bloom": CONTAM_BLOOM_SQL,
     "decontaminate_apply": DECONTAMINATE_SQL,
     "source_quality_rollup": SOURCE_ROLLUP_SQL,
     "corpus_datasheet": CORPUS_DATASHEET_SQL,
