@@ -12,9 +12,10 @@ crawl_corpus_quality / pagerank_crawl / recrawl_delta (iterative stateful
 crawls — not SQL-expressible; pagerank_crawl's edge table and rank
 arithmetic are pinned exactly against the reference simulation in
 tests/test_graph_crawl.py, recrawl_delta's one-changed-row payload and
-fetch set in tests/test_recrawl_diff.py), sft_pairs (conversation-pair
-EMIT over the fixture crawl's thread structure, pinned against the
-reference simulation in tests/test_sft_pairs.py) and
+fetch set in tests/test_recrawl_diff.py), sft_pairs / sft_pairs_tree
+(conversation-pair EMITs over the fixture crawls' linear / reply-tree
+thread structure, pinned against the reference simulations in
+tests/test_sft_pairs.py) and
 stream_post_counts (streams a crawl's parsed deltas). Everything else — including
 media_features (closed-form md5 featurizer) and the drained streaming
 dedup/sessionize — carries a DuckDB oracle.

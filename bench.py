@@ -61,6 +61,7 @@ BENCH_EXCLUDE = {
     "pagerank_crawl",
     "recrawl_delta",
     "sft_pairs",
+    "sft_pairs_tree",
     "stream_post_counts",
 }
 

@@ -19,6 +19,7 @@ from pyspark.sql import SparkSession
 
 _CRAWL_MEMO: dict[str, object] = {}
 _RECRAWL_MEMO: dict[str, object] = {}
+_HK_MEMO: dict[str, object] = {}
 
 
 def fixture_discourse_crawl(spark: SparkSession):
@@ -39,6 +40,30 @@ def fixture_discourse_crawl(spark: SparkSession):
     for old_key in [k for k in _CRAWL_MEMO if k != key]:
         del _CRAWL_MEMO[old_key]
     _CRAWL_MEMO[key] = res
+    return res
+
+
+def fixture_hyperkitty_crawl(spark: SparkSession):
+    """The shared tiny HyperKitty fixture crawl (CrawlResult) — the
+    threaded-MAIL counterpart of the Discourse fixture: root posts have
+    empty subpaths and replies carry stack-replay subpath chains, so this
+    is the crawl the tree-shaped conversation pairing consumes."""
+    key = spark.sparkContext.applicationId
+    memo = _HK_MEMO.get(key)
+    if memo is not None:
+        return memo
+    from ..crawl import CrawlConfig, run_crawl
+    from ..fixtures.hyperkitty import SyntheticHyperkitty
+
+    srv = SyntheticHyperkitty(seed=42)
+    wd = tempfile.mkdtemp(prefix="crawl_fixture_hk_")
+    res = run_crawl(
+        spark, srv, "https://hk.example/list/mylist.example/", wd,
+        CrawlConfig(),
+    )
+    for old_key in [k for k in _HK_MEMO if k != key]:
+        del _HK_MEMO[old_key]
+    _HK_MEMO[key] = res
     return res
 
 

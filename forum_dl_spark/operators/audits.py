@@ -481,8 +481,13 @@ def shard_merkle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition test.  (digest_sum32 overflows int64 only past ~2^31 docs
     per shard — at that point you shard wider, as documented here.)
     """
-    d = _docs(spark, sf_dir)
-    h = d.select(
+    return _merkle(_docs(spark, sf_dir))
+
+
+def _merkle(df: DataFrame) -> DataFrame:
+    """Shard manifest over any (doc_id, text, ...) relation — shared by
+    shard_merkle_manifest and its first consumer, manifest_diff."""
+    h = df.select(
         F.expr(
             f"{_h32('cast(doc_id as string)')} % {MERKLE_SHARDS}"
         ).alias("shard"),
@@ -516,6 +521,115 @@ SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
        bit_xor(h56) AS digest_xor,
        CAST(sum(h32) AS BIGINT) AS digest_sum32
 FROM h GROUP BY shard
+"""
+
+
+# --- dataset-version manifest diff ---------------------------------------------
+
+# deterministic v2 synthesis (no external data): one edit, one delete, one
+# add — the three change kinds a dataset release diff must catch
+MANIFEST_EDIT_ID = 42
+MANIFEST_DEL_ID = 43
+MANIFEST_ADD_ID = 9_000_001
+MANIFEST_ADD_TEXT = "added revision document payload"
+
+
+def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``shard_merkle_manifest``'s first consumer: diff two dataset
+    versions BY MANIFEST — the shards whose digests differ, without
+    comparing (or even co-locating) any document rows. v2 is synthesized
+    deterministically from the corpus in-plan: one doc edited, one
+    deleted, one added — one shard-level change of
+    each kind a release diff must catch (an edit keeps n_docs constant
+    and only moves the digests, which is exactly the case raw counts
+    miss).
+
+    Scale shape: two map-side-combined S-row aggregates (order-
+    independent xor/sum digests — no sort, no collect_list) + one S-row
+    full-outer join; at 100 TB this is the plan — version comparison
+    cost is O(corpus scan) map-side and O(S) everywhere else, the
+    Iceberg-manifest-diff shape. Changed-shard rows carry both sides'
+    counts and digests (absent side coalesced to 0/0)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    v2 = (
+        d.filter(F.col("doc_id") != MANIFEST_DEL_ID)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") == MANIFEST_EDIT_ID,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(MANIFEST_ADD_ID).cast("long").alias("doc_id"),
+                F.lit(MANIFEST_ADD_TEXT).alias("text"),
+            )
+        )
+    )
+    cols = ["n_docs", "n_chars", "digest_xor", "digest_sum32"]
+    a = _merkle(d).select(
+        "shard", *[F.col(c).alias(f"{c}_a") for c in cols]
+    )
+    b = _merkle(v2).select(
+        "shard", *[F.col(c).alias(f"{c}_b") for c in cols]
+    )
+    z = F.lit(0).cast("long")
+    joined = a.join(b, "shard", "full_outer")
+    changed = (
+        (F.coalesce("n_docs_a", z) != F.coalesce("n_docs_b", z))
+        | (F.coalesce("digest_xor_a", z) != F.coalesce("digest_xor_b", z))
+        | (F.coalesce("digest_sum32_a", z) != F.coalesce("digest_sum32_b", z))
+    )
+    return joined.filter(changed).select(
+        "shard",
+        F.coalesce("n_docs_a", z).alias("n_docs_a"),
+        F.coalesce("n_docs_b", z).alias("n_docs_b"),
+        F.coalesce("digest_xor_a", z).alias("digest_xor_a"),
+        F.coalesce("digest_xor_b", z).alias("digest_xor_b"),
+        F.coalesce("digest_sum32_a", z).alias("digest_sum32_a"),
+        F.coalesce("digest_sum32_b", z).alias("digest_sum32_b"),
+    )
+
+
+_MANIFEST_DUCK_BODY = f"""
+  SELECT {_h32_duck('CAST(doc_id AS VARCHAR)')} % {MERKLE_SHARDS} AS shard,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':'
+              || text), 1, 14)) AS BIGINT) AS h56,
+         {_h32_duck("CAST(doc_id AS VARCHAR) || ':' || text")} AS h32
+"""
+
+MANIFEST_DIFF_SQL = f"""
+WITH v1 AS (SELECT doc_id, text FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = {MANIFEST_EDIT_ID} THEN text || ' rev2'
+              ELSE text END AS text
+  FROM documents WHERE doc_id <> {MANIFEST_DEL_ID}
+  UNION ALL
+  SELECT {MANIFEST_ADD_ID}, '{MANIFEST_ADD_TEXT}'
+),
+ma AS (
+  SELECT shard, count(*) AS n_docs, bit_xor(h56) AS digest_xor,
+         sum(h32) AS digest_sum32
+  FROM ({_MANIFEST_DUCK_BODY} FROM v1) GROUP BY shard
+),
+mb AS (
+  SELECT shard, count(*) AS n_docs, bit_xor(h56) AS digest_xor,
+         sum(h32) AS digest_sum32
+  FROM ({_MANIFEST_DUCK_BODY} FROM v2) GROUP BY shard
+)
+SELECT shard,
+       CAST(coalesce(ma.n_docs, 0) AS BIGINT) AS n_docs_a,
+       CAST(coalesce(mb.n_docs, 0) AS BIGINT) AS n_docs_b,
+       CAST(coalesce(ma.digest_xor, 0) AS BIGINT) AS digest_xor_a,
+       CAST(coalesce(mb.digest_xor, 0) AS BIGINT) AS digest_xor_b,
+       CAST(coalesce(ma.digest_sum32, 0) AS BIGINT) AS digest_sum32_a,
+       CAST(coalesce(mb.digest_sum32, 0) AS BIGINT) AS digest_sum32_b
+FROM ma FULL OUTER JOIN mb USING (shard)
+WHERE coalesce(ma.n_docs, 0) <> coalesce(mb.n_docs, 0)
+   OR coalesce(ma.digest_xor, 0) <> coalesce(mb.digest_xor, 0)
+   OR coalesce(ma.digest_sum32, 0) <> coalesce(mb.digest_sum32, 0)
 """
 
 
@@ -576,6 +690,7 @@ QUERIES = {
     "semantic_contamination": semantic_contamination,
     "padding_waste_audit": padding_waste_audit,
     "shard_merkle_manifest": shard_merkle_manifest,
+    "manifest_diff": manifest_diff,
     "boundary_stitch_pairs": boundary_stitch_pairs,
 }
 
@@ -585,5 +700,6 @@ ORACLES = {
     "semantic_contamination": SEMANTIC_CONTAMINATION_SQL,
     "padding_waste_audit": PADDING_WASTE_SQL,
     "shard_merkle_manifest": SHARD_MERKLE_SQL,
+    "manifest_diff": MANIFEST_DIFF_SQL,
     "boundary_stitch_pairs": BOUNDARY_STITCH_SQL,
 }

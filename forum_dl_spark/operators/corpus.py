@@ -157,10 +157,68 @@ def sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sft_pairs_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sft_pairs``' tree-shaped sibling for the threaded-mail family:
+    (prompt, response) pairs follow the REAL reply relation — each reply
+    post joins its parent by subpath chain (parent = the post whose
+    subpath is the reply's minus its last element; thread roots have
+    empty subpaths and act only as prompts). This is the conversation
+    structure the mail engines reconstruct (P9, mailthread stack
+    replay), consumed as training pairs.
+
+    Scale shape: ONE equi-join keyed (thread_id, parent_key) — reply
+    depth never multiplies rows (each post has exactly one parent), and
+    thread keys bound the shuffle the same way the pagination bound does
+    for the linear pairing. Rows-only like the other crawl smokes;
+    pinned against the HyperKitty reference simulation's subpath tree in
+    tests/test_sft_pairs.py."""
+    from ._fixture import fixture_hyperkitty_crawl
+
+    res = fixture_hyperkitty_crawl(spark)
+    text = F.expr(
+        "concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'),"
+        " s -> s.text))"
+    )
+    posts = (
+        res.items()
+        .filter(F.col("type") == "post")
+        .select(
+            F.array_join("path", ".").alias("thread_id"),
+            F.coalesce(F.col("subpath"), F.expr("array()")).alias("subpath"),
+            F.col("author"),
+            text.alias("text"),
+        )
+    )
+    children = posts.filter(F.size("subpath") > 0).select(
+        "thread_id",
+        F.expr(
+            "array_join(slice(subpath, 1, size(subpath) - 1), '.')"
+        ).alias("parent_key"),
+        F.expr("array_join(subpath, '.')").alias("response_key"),
+        F.col("author").alias("response_author"),
+        F.col("text").alias("response_text"),
+    )
+    parents = posts.select(
+        "thread_id",
+        F.expr("array_join(subpath, '.')").alias("parent_key"),
+        F.col("author").alias("prompt_author"),
+        F.col("text").alias("prompt_text"),
+    )
+    return children.join(parents, ["thread_id", "parent_key"]).select(
+        "thread_id",
+        "response_key",
+        "prompt_author",
+        "prompt_text",
+        "response_author",
+        "response_text",
+    )
+
+
 QUERIES = {
     "crawl_corpus_quality": crawl_corpus_quality,
     "recrawl_delta": recrawl_delta,
     "sft_pairs": sft_pairs,
+    "sft_pairs_tree": sft_pairs_tree,
 }
 
 # rows-only: the producing crawl is iterative/stateful (see module
