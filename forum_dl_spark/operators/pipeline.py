@@ -1394,6 +1394,115 @@ FROM documents
 """
 
 
+# --- curriculum stages ----------------------------------------------------------
+#
+# Curriculum-learning training manifest: split the corpus into K stages of
+# ASCENDING quality (train easy/noisy → clean, or the reverse — the stage
+# order is the trainer's choice; the manifest is the same). The naive
+# encoding is ntile(K) OVER (ORDER BY score) — a single-partition global
+# sort of the whole corpus, the one window shape this repo bans. Instead
+# the stage is a PARTITION FUNCTION of the score alone: score histogram
+# (bounded domain 0..1000) → cumulative count below each score → stage =
+# 1 + floor(K * c_lt / total). Docs with equal scores always land in the
+# same stage (no tiebreak needed, order-independence for free); stage
+# sizes deviate from n/K only by score mass points, which is the honest
+# price of a sort-free curriculum and is visible in the output.
+#
+# Scale shape: the only corpus-sized stages are two map-side-combined
+# aggregates (score histogram → ≤1001 rows; stage rollup → ≤K rows); the
+# stage map joins back BROADCAST on score, and both windows ride
+# bounded relations (≤1001 and ≤K rows). No global sort, no data-sized
+# window, no shuffle of text.
+
+CURRICULUM_K = 4
+
+_CURR_SCORE_SPARK = (
+    "cast((1000 * length(regexp_replace(text, '[^A-Za-z]', '')))"
+    " div greatest(1, length(text)) as bigint)"
+)
+_CURR_SCORE_DUCK = (
+    "CAST((1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))"
+    " // greatest(1, length(text)) AS BIGINT)"
+)
+
+
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        F.expr(_CURR_SCORE_SPARK).alias("score"),
+        F.expr(r"size(filter(split(text, '\\s+'), x -> x != ''))")
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    hist = scored.groupBy("score").agg(F.count("*").alias("c"))
+    # both windows ride the ≤1001-row histogram, not the corpus
+    w_lt = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    stage_map = hist.select(
+        "score",
+        F.coalesce(F.sum("c").over(w_lt), F.lit(0)).alias("c_lt"),
+        F.sum("c").over(w_all).alias("total"),
+    ).select(
+        "score",
+        F.expr(
+            f"cast(1 + ({CURRICULUM_K} * c_lt) div total as bigint)"
+        ).alias("stage"),
+    )
+    staged = scored.join(F.broadcast(stage_map), "score")
+    agg = staged.groupBy("stage").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("score").alias("score_min"),
+        F.max("score").alias("score_max"),
+    )
+    w_cum = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.select(
+        "stage",
+        "n_docs",
+        "n_tokens",
+        "score_min",
+        "score_max",
+        F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
+    )
+
+
+CURRICULUM_SQL = f"""
+WITH scored AS (
+  SELECT {_CURR_SCORE_DUCK} AS score,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+hist AS (SELECT score, count(*) AS c FROM scored GROUP BY score),
+cum AS (
+  SELECT score,
+         coalesce(sum(c) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt,
+         sum(c) OVER () AS total
+  FROM hist
+),
+staged AS (
+  SELECT s.score, s.n_tokens,
+         CAST(1 + ({CURRICULUM_K} * cum.c_lt) // cum.total AS BIGINT)
+             AS stage
+  FROM scored s JOIN cum ON s.score = cum.score
+),
+agg AS (
+  SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         min(score) AS score_min, max(score) AS score_max
+  FROM staged GROUP BY stage
+)
+SELECT stage, n_docs, n_tokens, score_min, score_max,
+       CAST(sum(n_tokens) OVER (ORDER BY stage) AS BIGINT) AS cum_tokens
+FROM agg
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
@@ -1409,6 +1518,7 @@ QUERIES = {
     "quality_classifier_apply": quality_classifier_apply,
     "kmeans_assign": kmeans_assign,
     "shuffle_shards": shuffle_shards,
+    "curriculum_stages": curriculum_stages,
 }
 
 ORACLES = {
@@ -1426,4 +1536,5 @@ ORACLES = {
     "quality_classifier_apply": NBQ_APPLY_SQL,
     "kmeans_assign": _km_oracle_sql(),
     "shuffle_shards": SHUFFLE_SHARDS_SQL,
+    "curriculum_stages": CURRICULUM_SQL,
 }

@@ -569,6 +569,97 @@ FROM ranked GROUP BY host_id
 """
 
 
+# --- frontier pop simulation ----------------------------------------------------
+#
+# The crawl loop's politeness-budgeted priority-queue pop
+# (crawl/politeness.py budgeted_pop + the wave window, superstep.py) as a
+# STANDALONE oracled operator: the online loop is iterative/stateful and
+# therefore rows-only at the driver gate, but one pop step is pure SQL —
+# this registers exactly that step so the scheduler's core semantics get
+# a value-hash row against DuckDB. Frontier synthesized deterministically
+# from the documents table (no external data): ord = doc_id, host drawn
+# md5→sqrt-binned so host mass is SKEWED (~30 hosts, the biggest ~6% —
+# the per-host-window shape under exactly the skew the salting defends),
+# priority = md5 % 3 (the board→thread→post BFS depth classes).
+#
+# Pop semantics (same as the online loop): rank within host by
+# (priority, ord); admit host_rank <= budget; the wave takes the global
+# top-W admitted by (priority, ord). Scale shape: ONE host-keyed hash
+# exchange for the rank window (at 10^10 frontier rows the same window
+# runs salted two-phase, budgeted_pop(salts>1) — set-equality pinned in
+# tests/test_salted_pop.py) and the global top-W compiles to
+# TakeOrderedAndProject — per-partition heaps, NO global sort, NO
+# single-partition window (plan-pinned).
+
+FRONTIER_HOST_BUDGET = 6
+FRONTIER_WAVE_WINDOW = 64
+
+_FRONTIER_H_SPARK = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+    " as bigint)"
+)
+_FRONTIER_P_SPARK = (
+    "cast(conv(substring(md5(concat('p:', cast(doc_id as string))), 1, 8),"
+    " 16, 10) as bigint)"
+)
+_FRONTIER_H_DUCK = (
+    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT)"
+)
+_FRONTIER_P_DUCK = (
+    "CAST(concat('0x', substring(md5('p:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT)"
+)
+
+
+def frontier_pop_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frontier = d.select(
+        F.col("doc_id").alias("ord"),
+        F.expr(
+            f"concat('host', cast(cast(floor(sqrt({_FRONTIER_H_SPARK} % 1024))"
+            " as int) as string))"
+        ).alias("host"),
+        F.expr(f"{_FRONTIER_P_SPARK} % 3").alias("priority"),
+    )
+    w = Window.partitionBy("host").orderBy("priority", "ord")
+    ranked = frontier.select(
+        "host",
+        "ord",
+        "priority",
+        F.row_number().over(w).cast("long").alias("host_rank"),
+    )
+    return (
+        ranked.filter(F.col("host_rank") <= FRONTIER_HOST_BUDGET)
+        .orderBy("priority", "ord")
+        .limit(FRONTIER_WAVE_WINDOW)
+    )
+
+
+FRONTIER_POP_SQL = f"""
+WITH frontier AS (
+  SELECT doc_id AS ord,
+         'host' || CAST(CAST(floor(sqrt({_FRONTIER_H_DUCK} % 1024)) AS INT)
+                   AS VARCHAR) AS host,
+         {_FRONTIER_P_DUCK} % 3 AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT host, ord, priority,
+         row_number() OVER (PARTITION BY host ORDER BY priority, ord)
+             AS host_rank
+  FROM frontier
+)
+SELECT host, ord, CAST(priority AS BIGINT) AS priority,
+       CAST(host_rank AS BIGINT) AS host_rank
+FROM ranked
+WHERE host_rank <= {FRONTIER_HOST_BUDGET}
+ORDER BY priority, ord LIMIT {FRONTIER_WAVE_WINDOW}
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -580,6 +671,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "politeness_gap_audit": politeness_gap_audit,
+    "frontier_pop_sim": frontier_pop_sim,
 }
 
 ORACLES = {
@@ -593,4 +685,5 @@ ORACLES = {
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "politeness_gap_audit": POLITENESS_GAP_SQL,
+    "frontier_pop_sim": FRONTIER_POP_SQL,
 }

@@ -1696,6 +1696,118 @@ FROM c
 """
 
 
+# --- unicode sanitize (ftfy-style fixer audit) ---------------------------------
+#
+# Every web-scale corpus pipeline runs an encoding fixer before anything
+# else (ftfy / CCNet's pre-clean): strip control characters and U+FFFD
+# replacement chars, repair the classic UTF-8-bytes-read-as-cp1252
+# mojibake digraphs. The corpus fixture is clean ASCII, so the audit
+# plants its own corruption deterministically in-plan (the manifest_diff
+# pattern — no external data): docs with doc_id % SANITIZE_EVERY ==
+# SANITIZE_PHASE get a BEL control char, one U+FFFD and one mojibake
+# token of each repaired digraph prepended, exercising every fix path.
+#
+# Scale shape: map-only — one codegen projection, NO exchange and NO join
+# anywhere (plan-pinned); the fix chain and all counts are string
+# built-ins. At 100 TB this is the cheapest pass in the pipeline, which
+# is why it runs first.
+
+SANITIZE_EVERY = 37
+SANITIZE_PHASE = 3
+# mojibake digraphs repaired: UTF-8 bytes of é (C3 A9) and ’ (E2 80 99)
+# decoded as cp1252 — 'Ã©' and 'â€™'
+_MOJI_E = "Ã©"
+_FIX_E = "é"
+_MOJI_APOS = "â€™"
+_FIX_APOS = "’"
+_SAN_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+# planted prefix: BEL + 'café' mojibake + U+FFFD + 'don’t' mojibake
+_SAN_PLANT = "\x07caf" + _MOJI_E + " � don" + _MOJI_APOS + "t "
+# what the planted prefix must sanitize to (U+FFFD removal leaves the
+# double space — the sanitizer repairs encoding, it does not re-space)
+SAN_PLANT_FIXED = "café  don’t "
+
+
+def unicode_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    corrupted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % SANITIZE_EVERY == SANITIZE_PHASE,
+            F.concat(F.lit(_SAN_PLANT), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    def occurrences(sig: str) -> F.Column:
+        return (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(sig))))
+            / F.lit(len(sig))
+        ).cast("long")
+
+    clean = F.regexp_replace(
+        F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit(_MOJI_E), F.lit(_FIX_E)),
+                F.lit(_MOJI_APOS),
+                F.lit(_FIX_APOS),
+            ),
+            F.lit("�"),
+        ),
+        _SAN_CTRL_RE,
+        "",
+    )
+    return corrupted.select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), _SAN_CTRL_RE, ""))
+        )
+        .cast("long")
+        .alias("n_ctrl"),
+        occurrences("�").alias("n_repl"),
+        (occurrences(_MOJI_E) + occurrences(_MOJI_APOS)).alias("n_moji"),
+        (clean != F.col("text")).cast("long").alias("changed"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+        clean.alias("clean_text"),
+    )
+
+
+UNICODE_SANITIZE_SQL = f"""
+WITH corrupted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {SANITIZE_EVERY} = {SANITIZE_PHASE}
+              THEN chr(7) || 'caf{_MOJI_E} ' || chr(65533) ||
+                   ' don{_MOJI_APOS}t ' || text
+              ELSE text END AS text
+  FROM documents
+),
+fixed AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           replace(replace(replace(text, '{_MOJI_E}', '{_FIX_E}'),
+                           '{_MOJI_APOS}', '{_FIX_APOS}'),
+                   chr(65533), ''),
+           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS clean
+  FROM corrupted
+)
+SELECT doc_id,
+       CAST(length(text) - length(regexp_replace(text,
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS BIGINT)
+           AS n_ctrl,
+       CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT)
+           AS n_repl,
+       CAST((length(text) - length(replace(text, '{_MOJI_E}', ''))) // 2
+          + (length(text) - length(replace(text, '{_MOJI_APOS}', ''))) // 3
+            AS BIGINT) AS n_moji,
+       CAST(CASE WHEN clean <> text THEN 1 ELSE 0 END AS BIGINT) AS changed,
+       CAST(length(clean) AS BIGINT) AS n_chars_clean,
+       clean AS clean_text
+FROM fixed
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -1722,6 +1834,7 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "pii_scrub": pii_scrub,
     "length_histogram": length_histogram,
+    "unicode_sanitize": unicode_sanitize,
 }
 
 ORACLES = {
@@ -1750,4 +1863,5 @@ ORACLES = {
     "repetition_stats": REPETITION_SQL,
     "pii_scrub": PII_SCRUB_SQL,
     "length_histogram": LENGTH_HISTOGRAM_SQL,
+    "unicode_sanitize": UNICODE_SANITIZE_SQL,
 }
