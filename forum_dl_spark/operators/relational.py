@@ -660,6 +660,275 @@ ORDER BY priority, ord LIMIT {FRONTIER_WAVE_WINDOW}
 """
 
 
+# --- URL-seen bloom false-positive audit ----------------------------------------
+#
+# The crawl's URL-seen gate runs a bloom prefilter ahead of the sharded
+# anti-join (crawl/bloom.py, bit-identical by test) because at a 10^10-URL
+# frontier the exact seen set cannot broadcast. The design question a
+# 10^10 deployment must keep answering is: *is m still sized to n?* —
+# an undersized sketch silently admits false positives into the
+# anti-join (extra work) and, if ever used alone, would DROP novel URLs.
+# This operator is that audit as an oracled query: build the bloom
+# DISTRIBUTED (bit_or word aggregate — no driver collect, unlike
+# contamination_bloom's bounded eval-side build), then measure, per
+# host, the false-positive rate over a candidate set of seen ∪
+# guaranteed-unseen URLs. m is deliberately sized for sf0.01
+# (URLSEEN_M = 8192 bits), so at sf0.1 the SAME query shows the
+# saturation curve (~70% fill) — the audit demonstrating exactly the
+# failure it exists to catch, with the numbers value-hash-pinned in
+# both engines.
+#
+# Scale shape: bloom build = one map-side-combined aggregate bounded at
+# m/64 = 128 word rows; membership = two BROADCAST joins of that word
+# table (16 KiB) + codegen bit tests; rollup = one host-keyed exchange.
+# No row of the seen set is ever broadcast or collected.
+
+URLSEEN_M = 8192  # bits; sized for sf0.01 so sf0.1 shows saturation
+URLSEEN_HOSTS = 16
+
+_URL_H32 = (
+    "cast(conv(substring(md5({x}), 1, 8), 16, 10) as bigint)"
+)
+_URL_H32_DUCK = "CAST(concat('0x', substring(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def urlseen_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.expr(
+        f"concat('h', {_URL_H32.format(x='cast(doc_id as string)')} % "
+        f"{URLSEEN_HOSTS}, '.example')"
+    )
+    base = d.select(F.col("doc_id"), host.alias("host"))
+    seen = base.select(
+        "host",
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/t/"),
+                 F.col("doc_id")).alias("url"),
+        F.lit(1).alias("is_seen"),
+    )
+    unseen = base.select(
+        "host",
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/u/"),
+                 F.col("doc_id")).alias("url"),
+        F.lit(0).alias("is_seen"),
+    )
+
+    def pos(slice_start: int) -> F.Column:
+        return F.expr(
+            f"cast(conv(substring(md5(url), {slice_start}, 8), 16, 10)"
+            f" as bigint) % {URLSEEN_M}"
+        )
+
+    words = (
+        seen.select(pos(1).alias("p"))
+        .unionByName(seen.select(pos(9).alias("p")))
+        .select(
+            F.expr("cast(p div 64 as int)").alias("widx"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("m"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    cand = seen.unionByName(unseen).select(
+        "host", "is_seen",
+        pos(1).alias("p1"), pos(9).alias("p2"),
+    )
+    w1 = words.select(F.col("widx").alias("w1"), F.col("bits").alias("b1"))
+    w2 = words.select(F.col("widx").alias("w2"), F.col("bits").alias("b2"))
+    tested = (
+        cand.join(F.broadcast(w1),
+                  F.expr("cast(p1 div 64 as int)") == F.col("w1"), "left")
+        .join(F.broadcast(w2),
+              F.expr("cast(p2 div 64 as int)") == F.col("w2"), "left")
+        .select(
+            "host", "is_seen",
+            (
+                F.expr("(shiftright(coalesce(b1, 0L), cast(p1 % 64 as int))"
+                       " & 1) = 1")
+                & F.expr("(shiftright(coalesce(b2, 0L), cast(p2 % 64 as int))"
+                         " & 1) = 1")
+            ).cast("long").alias("admitted"),
+        )
+    )
+    return tested.groupBy("host").agg(
+        F.sum("is_seen").cast("long").alias("n_seen"),
+        F.sum(
+            F.when(F.col("is_seen") == 1, F.col("admitted"))
+        ).cast("long").alias("n_seen_admitted"),
+        F.sum(1 - F.col("is_seen")).cast("long").alias("n_unseen"),
+        F.sum(
+            F.when(F.col("is_seen") == 0, F.col("admitted"))
+        ).cast("long").alias("n_fp"),
+    ).select(
+        "host", "n_seen", "n_seen_admitted", "n_unseen", "n_fp",
+        F.expr("(10000 * n_fp) div n_unseen").alias("fp_bp"),
+    )
+
+
+URLSEEN_BLOOM_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         'h' || CAST({_URL_H32_DUCK.format(x='CAST(doc_id AS VARCHAR)')}
+                % {URLSEEN_HOSTS} AS VARCHAR) || '.example' AS host
+  FROM documents
+),
+cand AS (
+  SELECT host, 'https://' || host || '/t/' || CAST(doc_id AS VARCHAR) AS url,
+         1 AS is_seen FROM base
+  UNION ALL
+  SELECT host, 'https://' || host || '/u/' || CAST(doc_id AS VARCHAR) AS url,
+         0 AS is_seen FROM base
+),
+hashed AS (
+  SELECT host, is_seen,
+         {_URL_H32_DUCK.format(x='url')} % {URLSEEN_M} AS p1,
+         CAST(concat('0x', substring(md5(url), 9, 8)) AS BIGINT)
+             % {URLSEEN_M} AS p2
+  FROM cand
+),
+pos AS (
+  SELECT DISTINCT p FROM (
+    SELECT p1 AS p FROM hashed WHERE is_seen = 1
+    UNION SELECT p2 FROM hashed WHERE is_seen = 1)
+),
+tested AS (
+  SELECT host, is_seen,
+         CASE WHEN p1 IN (SELECT p FROM pos)
+               AND p2 IN (SELECT p FROM pos) THEN 1 ELSE 0 END AS admitted
+  FROM hashed
+)
+SELECT host,
+       CAST(sum(is_seen) AS BIGINT) AS n_seen,
+       CAST(sum(CASE WHEN is_seen = 1 THEN admitted END) AS BIGINT)
+           AS n_seen_admitted,
+       CAST(sum(1 - is_seen) AS BIGINT) AS n_unseen,
+       CAST(sum(CASE WHEN is_seen = 0 THEN admitted END) AS BIGINT) AS n_fp,
+       CAST((10000 * sum(CASE WHEN is_seen = 0 THEN admitted END))
+            // sum(1 - is_seen) AS BIGINT) AS fp_bp
+FROM tested GROUP BY host
+"""
+
+
+# --- robots coverage audit ------------------------------------------------------
+#
+# The crawl loop enforces robots prefix gates online
+# (crawl/politeness.py apply_robots, RFC 9309 prefix semantics); this is
+# the OFFLINE audit a crawl operator runs before a big run — per host,
+# what fraction of the candidate frontier the ruleset blocks. Frontier
+# synthesized deterministically (same 16-host draw as the bloom audit;
+# path class from a second md5 draw: 60% thread pages, 20% /admin/,
+# 10% /private/, 10% /u/), rules as an in-plan literal dimension:
+# every host disallows /admin/, every 4th host also /private/, and h3
+# additionally /u/ — so blocked share varies BY host and the per-host
+# rollup is non-trivial.
+#
+# Scale shape: rules are a tiny dimension → BROADCAST join on host with
+# the startswith predicate as the join residual (one hash exchange only
+# for the final host rollup); the frontier never shuffles for the match.
+
+ROBOTS_PATHS = ["/t/", "/t/", "/t/", "/t/", "/t/", "/t/",
+                "/admin/", "/admin/", "/private/", "/u/"]
+
+
+def _robots_rules() -> list[tuple[str, str]]:
+    rules = []
+    for k in range(URLSEEN_HOSTS):
+        h = f"h{k}.example"
+        rules.append((h, "/admin/"))
+        if k % 4 == 0:
+            rules.append((h, "/private/"))
+    rules.append(("h3.example", "/u/"))
+    return rules
+
+
+def robots_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path_case = "case " + " ".join(
+        f"when {_URL_H32.format(x=repr('path:') + ' || cast(doc_id as string)')}"
+        f" % 10 = {i} then '{p}'"
+        for i, p in enumerate(ROBOTS_PATHS)
+    ) + " end"
+    frontier = d.select(
+        F.expr(
+            f"concat('h', {_URL_H32.format(x='cast(doc_id as string)')} % "
+            f"{URLSEEN_HOSTS}, '.example')"
+        ).alias("host"),
+        F.expr(
+            f"concat({path_case}, cast(doc_id as string))"
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _robots_rules(), "host string, prefix string"
+    )
+    blocked = (
+        frontier.join(
+            F.broadcast(rules),
+            (frontier.host == rules.host)
+            & frontier.path.startswith(rules.prefix),
+            "left_semi",
+        )
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_blocked"))
+    )
+    totals = frontier.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+    return (
+        totals.join(blocked, "host", "left")
+        .select(
+            "host",
+            "n_urls",
+            F.coalesce("n_blocked", F.lit(0)).cast("long").alias("n_blocked"),
+        )
+        .select(
+            "host", "n_urls", "n_blocked",
+            F.expr("(10000 * n_blocked) div n_urls").alias("blocked_bp"),
+        )
+    )
+
+
+def _robots_rules_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{h}' AS host, '{p}' AS prefix"
+        for h, p in _robots_rules()
+    )
+
+
+_ROBOTS_PATH_H_DUCK = _URL_H32_DUCK.format(
+    x="'path:' || CAST(doc_id AS VARCHAR)"
+)
+_ROBOTS_PATH_CASE_DUCK = "CASE " + " ".join(
+    f"WHEN {_ROBOTS_PATH_H_DUCK} % 10 = {i} THEN '{p}'"
+    for i, p in enumerate(ROBOTS_PATHS)
+) + " END"
+
+ROBOTS_COVERAGE_SQL = f"""
+WITH frontier AS (
+  SELECT 'h' || CAST({_URL_H32_DUCK.format(x='CAST(doc_id AS VARCHAR)')}
+               % {URLSEEN_HOSTS} AS VARCHAR) || '.example' AS host,
+         ({_ROBOTS_PATH_CASE_DUCK})
+             || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+),
+rules AS ({_robots_rules_sql()}),
+blocked AS (
+  SELECT f.host, count(*) AS n_blocked
+  FROM frontier f
+  WHERE EXISTS (
+    SELECT 1 FROM rules r
+    WHERE r.host = f.host
+      AND left(f.path, length(r.prefix)) = r.prefix)
+  GROUP BY f.host
+)
+SELECT t.host,
+       CAST(t.n_urls AS BIGINT) AS n_urls,
+       CAST(coalesce(b.n_blocked, 0) AS BIGINT) AS n_blocked,
+       CAST((10000 * coalesce(b.n_blocked, 0)) // t.n_urls AS BIGINT)
+           AS blocked_bp
+FROM (SELECT host, count(*) AS n_urls FROM frontier GROUP BY host) t
+LEFT JOIN blocked b ON t.host = b.host
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -672,6 +941,8 @@ QUERIES = {
     "events_retention": events_retention,
     "politeness_gap_audit": politeness_gap_audit,
     "frontier_pop_sim": frontier_pop_sim,
+    "urlseen_bloom_audit": urlseen_bloom_audit,
+    "robots_coverage_audit": robots_coverage_audit,
 }
 
 ORACLES = {
@@ -686,4 +957,6 @@ ORACLES = {
     "events_retention": EVENTS_RETENTION_SQL,
     "politeness_gap_audit": POLITENESS_GAP_SQL,
     "frontier_pop_sim": FRONTIER_POP_SQL,
+    "urlseen_bloom_audit": URLSEEN_BLOOM_SQL,
+    "robots_coverage_audit": ROBOTS_COVERAGE_SQL,
 }

@@ -190,3 +190,115 @@ def test_frontier_pop_plan_topk_no_global_sort(spark):
     assert "Exchange rangepartitioning" not in plan
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- urlseen_bloom_audit --------------------------------------------------------
+
+
+def _urlseen_replay(doc_ids, m, hosts):
+    def h32(s, off=0):
+        return int(hashlib.md5(s.encode()).hexdigest()[off:off + 8], 16)
+
+    def positions(url):
+        return (h32(url) % m, h32(url, 8) % m)
+
+    rows = {}
+    pos = set()
+    urls = []
+    for d in doc_ids:
+        host = f"h{h32(str(d)) % hosts}.example"
+        seen_url = f"https://{host}/t/{d}"
+        unseen_url = f"https://{host}/u/{d}"
+        pos.update(positions(seen_url))
+        urls.append((host, seen_url, 1))
+        urls.append((host, unseen_url, 0))
+    for host, url, is_seen in urls:
+        p1, p2 = positions(url)
+        admitted = p1 in pos and p2 in pos
+        n_seen, n_sa, n_unseen, n_fp = rows.get(host, (0, 0, 0, 0))
+        rows[host] = (
+            n_seen + is_seen,
+            n_sa + (is_seen and admitted),
+            n_unseen + (1 - is_seen),
+            n_fp + ((not is_seen) and admitted),
+        )
+    return {
+        h: (a, b, c, d, (10000 * d) // c) for h, (a, b, c, d) in rows.items()
+    }
+
+
+def test_urlseen_bloom_no_false_negatives_and_exact_fp(spark):
+    from forum_dl_spark.operators.relational import (URLSEEN_HOSTS,
+                                                     URLSEEN_M,
+                                                     urlseen_bloom_audit)
+
+    doc_ids = sorted(_texts(spark))
+    want = _urlseen_replay(doc_ids, URLSEEN_M, URLSEEN_HOSTS)
+    got = {
+        r.host: (r.n_seen, r.n_seen_admitted, r.n_unseen, r.n_fp, r.fp_bp)
+        for r in urlseen_bloom_audit(spark, SF).collect()
+    }
+    assert got == want
+    for h, (n_seen, n_sa, _, _, _) in got.items():
+        assert n_sa == n_seen  # blooms have no false negatives
+
+
+def test_urlseen_bloom_plan_broadcast_words_no_smj(spark):
+    """The 128-word filter broadcasts into both membership joins; the
+    seen set itself is never broadcast, collected, or sort-merge
+    joined."""
+    from forum_dl_spark.operators.relational import urlseen_bloom_audit
+
+    plan = _plan(urlseen_bloom_audit(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+# --- robots_coverage_audit ------------------------------------------------------
+
+
+def _robots_replay(doc_ids, hosts, paths, rules):
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    out = {}
+    for d in doc_ids:
+        host = f"h{h32(str(d)) % hosts}.example"
+        path = paths[h32(f"path:{d}") % 10] + str(d)
+        blocked = any(
+            h == host and path.startswith(p) for h, p in rules
+        )
+        n, b = out.get(host, (0, 0))
+        out[host] = (n + 1, b + blocked)
+    return {h: (n, b, (10000 * b) // n) for h, (n, b) in out.items()}
+
+
+def test_robots_coverage_matches_pure_python_replay(spark):
+    from forum_dl_spark.operators.relational import (ROBOTS_PATHS,
+                                                     URLSEEN_HOSTS,
+                                                     _robots_rules,
+                                                     robots_coverage_audit)
+
+    doc_ids = sorted(_texts(spark))
+    want = _robots_replay(doc_ids, URLSEEN_HOSTS, ROBOTS_PATHS,
+                          _robots_rules())
+    got = {
+        r.host: (r.n_urls, r.n_blocked, r.blocked_bp)
+        for r in robots_coverage_audit(spark, SF).collect()
+    }
+    assert got == want
+    # the ruleset differentiates hosts: h3 (extra /u/ rule) blocks a
+    # strictly larger share than a plain /admin/-only host
+    plain = [bp for h, (_, _, bp) in got.items()
+             if h not in ("h3.example",) and not h.startswith("h0")
+             and not h.startswith("h4.") and not h.startswith("h8")
+             and not h.startswith("h12")]
+    assert got["h3.example"][2] > min(plain)
+
+
+def test_robots_coverage_plan_broadcast_rules_no_smj(spark):
+    from forum_dl_spark.operators.relational import robots_coverage_audit
+
+    plan = _plan(robots_coverage_audit(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
