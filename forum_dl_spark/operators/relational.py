@@ -569,6 +569,102 @@ FROM ranked GROUP BY host_id
 """
 
 
+# --- politeness schedule smoothing ----------------------------------------------
+#
+# The crawl loop spaces same-host fetches by a per-host delay (politeness
+# budgets online). The OFFLINE planning question is: given a burst of
+# fetch requests per host, when would each actually run under a crawl
+# delay d, and how much politeness wait does the burst incur? The
+# schedule obeys the recurrence a_i = max(t_i, a_{i-1} + d) — not
+# directly SQL-expressible (it references its own previous output) —
+# but the standard queue-smoothing identity linearizes it:
+# with b_i = t_i - d*i (i = 0-based arrival rank within host),
+# a_i = d*i + max_{j<=i} b_j, a pure PREFIX-MAX window. That transform
+# is what makes this a declarative one-exchange operator instead of a
+# per-host Python loop (the events_asof_join moral again: find the
+# window form, not the UDF form).
+#
+# Fetch log = events (user_id as host, the politeness_gap_audit
+# convention); per-host delay varies (100s * (1 + host % 4) — sized to the
+# fixture log, whose inter-event gaps are minutes-scale) so the
+# rollup exercises the delay dimension. All integer µs.
+#
+# Scale shape: rank window, prefix-max window and rollup all ride ONE
+# host-keyed hash exchange (alias-above-the-window partitioning, pinned);
+# per-host burst length is politeness-bounded in practice.
+
+
+def politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    wt = Window.partitionBy("host_id").orderBy("ts", "event_id")
+    wmax = (
+        Window.partitionBy("host_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = ev.select(
+        F.col("user_id").alias("host_id"),
+        F.col("event_id"),
+        F.col("ts"),
+        F.expr(
+            "cast(100000000 * (1 + user_id % 4) as bigint)"
+        ).alias("delay_us"),
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp'2024-01-01', ts)"
+        ).alias("ts_us"),
+    )
+    ranked = base.select(
+        "host_id", "delay_us", "ts_us",
+        (F.row_number().over(wt) - F.lit(1)).cast("long").alias("rn"),
+    )
+    sched = ranked.select(
+        "host_id", "ts_us",
+        (
+            F.col("delay_us") * F.col("rn")
+            + F.max(F.col("ts_us") - F.col("delay_us") * F.col("rn")).over(wmax)
+        ).alias("sched_us"),
+    )
+    return sched.groupBy("host_id").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.expr("sum(sched_us - ts_us) div 1000").alias("total_wait_ms"),
+        F.expr("max(sched_us - ts_us) div 1000").alias("max_wait_ms"),
+        F.expr(
+            "(max(sched_us) - min(ts_us)) div 1000"
+        ).alias("makespan_ms"),
+    )
+
+
+POLITENESS_SCHEDULE_SQL = """
+WITH base AS (
+  SELECT user_id AS host_id, event_id,
+         CAST(100000000 * (1 + user_id % 4) AS BIGINT) AS delay_us,
+         epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS ts_us
+  FROM events
+),
+ranked AS (
+  SELECT host_id, delay_us, ts_us,
+         CAST(row_number() OVER (PARTITION BY host_id
+              ORDER BY ts_us, event_id) - 1 AS BIGINT) AS rn
+  FROM base
+),
+sched AS (
+  SELECT host_id, ts_us,
+         delay_us * rn + max(ts_us - delay_us * rn) OVER (
+             PARTITION BY host_id ORDER BY rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sched_us
+  FROM ranked
+)
+SELECT host_id,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(sum(sched_us - ts_us) // 1000 AS BIGINT) AS total_wait_ms,
+       CAST(max(sched_us - ts_us) // 1000 AS BIGINT) AS max_wait_ms,
+       CAST((max(sched_us) - min(ts_us)) // 1000 AS BIGINT) AS makespan_ms
+FROM sched GROUP BY host_id
+"""
+
+
 # --- frontier pop simulation ----------------------------------------------------
 #
 # The crawl loop's politeness-budgeted priority-queue pop
@@ -943,6 +1039,7 @@ QUERIES = {
     "frontier_pop_sim": frontier_pop_sim,
     "urlseen_bloom_audit": urlseen_bloom_audit,
     "robots_coverage_audit": robots_coverage_audit,
+    "politeness_schedule": politeness_schedule,
 }
 
 ORACLES = {
@@ -959,4 +1056,5 @@ ORACLES = {
     "frontier_pop_sim": FRONTIER_POP_SQL,
     "urlseen_bloom_audit": URLSEEN_BLOOM_SQL,
     "robots_coverage_audit": ROBOTS_COVERAGE_SQL,
+    "politeness_schedule": POLITENESS_SCHEDULE_SQL,
 }

@@ -302,3 +302,62 @@ def test_robots_coverage_plan_broadcast_rules_no_smj(spark):
     plan = _plan(robots_coverage_audit(spark, SF))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- politeness_schedule --------------------------------------------------------
+
+
+def _schedule_replay(events):
+    """The LITERAL recurrence a_i = max(t_i, a_{i-1} + d) — deliberately
+    not the prefix-max identity the operator compiles to, so agreement
+    proves the identity itself."""
+    out = {}
+    by_host: dict[int, list] = {}
+    for host, eid, ts_us in sorted(events, key=lambda e: (e[0], e[2], e[1])):
+        by_host.setdefault(host, []).append(ts_us)
+    for host, ts_list in by_host.items():
+        d = 100000000 * (1 + host % 4)
+        sched = []
+        for t in ts_list:
+            a = t if not sched else max(t, sched[-1] + d)
+            sched.append(a)
+        waits = [a - t for a, t in zip(sched, ts_list)]
+        out[host] = (
+            len(ts_list),
+            sum(waits) // 1000,
+            max(waits) // 1000,
+            (sched[-1] - ts_list[0]) // 1000,
+        )
+    return out
+
+
+def test_politeness_schedule_matches_literal_recurrence(spark):
+    import datetime
+
+    from forum_dl_spark.operators.relational import politeness_schedule
+
+    epoch = datetime.datetime(2024, 1, 1)
+    events = [
+        (int(r.user_id), int(r.event_id),
+         int((r.ts - epoch).total_seconds() * 1_000_000))
+        for r in spark.read.parquet(f"{SF}/events.parquet").collect()
+    ]
+    want = _schedule_replay(events)
+    got = {
+        int(r.host_id): (r.n_fetches, r.total_wait_ms, r.max_wait_ms,
+                         r.makespan_ms)
+        for r in politeness_schedule(spark, SF).collect()
+    }
+    assert got == want
+    # non-vacuous: bursts exist, so politeness wait is incurred somewhere
+    assert any(w for _, w, _, _ in got.values())
+
+
+def test_politeness_schedule_plan_single_host_exchange_no_join(spark):
+    """Rank window, prefix-max window and rollup all ride ONE host-keyed
+    hash exchange; no join anywhere."""
+    from forum_dl_spark.operators.relational import politeness_schedule
+
+    plan = _plan(politeness_schedule(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
