@@ -49,13 +49,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._par import spread
+
 from .similarity import N_QUERIES
 from .textops import BPE_DUCK, _BPE_EXPR
 from .textstats import _TOK, _TOK_DUCK
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _h32(col: str) -> str:

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._par import spread
+
 SHINGLE_K = 8
 STOP_SHINGLE_DF = 100  # drop shingles appearing in more than this many docs
 JACCARD_THRESHOLD = 0.35
@@ -37,7 +39,7 @@ LSH_BANDS = 4  # 4 bands x 2 rows
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 # --- exact dedup ------------------------------------------------------------

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._par import spread
+
 from .dedup import (
     _DUCK_SHINGLE_CTE,
     _DUCK_H32,
@@ -41,7 +43,7 @@ MAX_CC_ITERS = 50
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _pointer_jump(labels: DataFrame) -> DataFrame:
@@ -891,7 +893,7 @@ KM_SCALE = 10000
 
 
 def _kmeans_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         "vec_id",
         F.expr(
             f"transform(embedding, x -> cast(floor(cast(x as double) * {KM_SCALE})"

@@ -17,13 +17,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._par import spread
+
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 LSH_PLANES = 6  # 2^6 = 64 buckets
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).withColumn(
         "v", F.expr("transform(embedding, x -> cast(x as double))")
     )
 
@@ -784,14 +786,35 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(v, x -> x * 1.25D)").alias("v"),
     )
     dim = _embedding_dim(spark, sf_dir)
+    # r6 perf (guide §2.3/§3.1): each vector's norm is computed ONCE here —
+    # the identical fold (same expression over the same array, so the same
+    # double bit pattern) used to be re-evaluated per PAIR inside the bucket
+    # join, tripling the per-pair array work; and the pair generation is a
+    # broadcast hash join (bucket-keyed build side ~vectors+norms, far under
+    # the threshold) over the spread scan, so the O(sum bucket^2) dot-product
+    # stage parallelizes instead of running on the scan's single input task.
     e = e0.unionByName(planted).withColumn(
         "bucket", F.expr(_spark_bucket_expr(dim)).cast("int")
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(transform(v, x -> x * x), cast(0 as double), (s, x) -> s + x))"
+        ),
     )
-    a = e.select(F.col("vec_id").alias("doc_a"), F.col("v"), "bucket").alias("a")
-    b = e.select(F.col("vec_id").alias("doc_b"), F.col("v"), "bucket").alias("b")
+    a = e.select(
+        F.col("vec_id").alias("doc_a"), F.col("v"), "bucket",
+        F.col("nrm").alias("nrm_a"),
+    ).alias("a")
+    b = e.select(
+        F.col("vec_id").alias("doc_b"), F.col("v"), "bucket",
+        F.col("nrm").alias("nrm_b"),
+    ).alias("b")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_a") < F.col("b.doc_b")))
-        .withColumn("cos_sim", F.expr(f"{_SPARK_DOT} / ({_SPARK_NORM_A} * {_SPARK_NORM_B})"))
+        a.join(
+            F.broadcast(b),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_a") < F.col("b.doc_b")),
+        )
+        .withColumn("cos_sim", F.expr(f"{_SPARK_DOT} / (a.nrm_a * b.nrm_b)"))
         .filter(F.col("cos_sim") >= 0.99)
         .select("doc_a", "doc_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
@@ -1634,7 +1657,7 @@ SQ_LEVELS = 255      # codes in [0, 255]: int8 per dimension
 
 def _sq_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, q): embeddings floor-prescaled to integer vectors."""
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         "vec_id",
         F.expr(
             "transform(embedding,"
