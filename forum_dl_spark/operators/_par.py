@@ -35,3 +35,40 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)
+
+
+def materialize_cp(df: DataFrame, action=None) -> tuple[DataFrame, int]:
+    """Truncate an iterative round's lineage with BOUNDED planning stats.
+
+    Spark 4's ``localCheckpoint()`` carries the child plan's ESTIMATED
+    statistics into the new ``LogicalRDD`` (``LogicalRDD.
+    rewriteStatsAndConstraints`` calls ``plan.stats`` on the plan being
+    checkpointed). ``SizeInBytesOnlyStatsPlanVisitor`` estimates a join as
+    the PRODUCT of its children's sizeInBytes, so in an iterative loop
+    whose round plan references the previous round's frame twice (an edge
+    join plus a pointer-jump self-join) the estimated sizeInBytes SQUARES
+    every round: the BigInteger's digit count doubles per round, and after
+    ~15 rounds the driver sits for minutes in single-threaded Karatsuba
+    multiplications while the executors idle (observed on
+    corpus_pipeline_apply at sf1.0; guide §7.3 "planning a huge query" —
+    the interesting thread was deep in ``BigInteger.multiplyToomCook3``
+    under ``Dataset.localCheckpoint``).
+
+    Fix: persist + materialize FIRST, then checkpoint. Once the frame is
+    cached, ``localCheckpoint``'s stats pass sees the cache-substituted
+    plan — an ``InMemoryRelation`` leaf whose sizeInBytes is the ACTUAL
+    materialized byte count — so the carried stats are real and bounded,
+    and every later round plans in constant time. Job count per round is
+    unchanged (the checkpoint copy reads from the cache instead of
+    recomputing the join); the transient cache is dropped immediately.
+
+
+    ``action`` (default: ``count``) is the materializing action; its result
+    is returned alongside the checkpointed frame so convergence counts
+    don't cost an extra job.
+    """
+    df = df.persist()
+    result = action(df) if action is not None else df.count()
+    out = df.localCheckpoint()
+    df.unpersist()
+    return out, result

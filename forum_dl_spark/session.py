@@ -52,6 +52,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-optimize (coalesce tiny post-shuffle partitions) the
+        # plans that compute PERSISTED relations too — off by default only
+        # to keep cached output partitioning stable for reuse, which no
+        # consumer here relies on. Without it every persisted intermediate
+        # (shingle/winnow memos, iterative CC rounds) executes at the raw
+        # shuffle-partition count however small the data is (r6, guide §2.2)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

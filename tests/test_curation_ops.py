@@ -64,7 +64,11 @@ def test_unicode_sanitize_plan_is_map_only(spark):
     from forum_dl_spark.operators.textops import unicode_sanitize
 
     plan = _plan(unicode_sanitize(spark, SF))
-    assert "Exchange" not in plan
+    # r6: the scan-side spread() may add one RoundRobin input repartition
+    # (parallelizing the unsplittable single-row-group fixture scan); the
+    # pin is "no keyed exchange, no join" — nothing is grouped or joined.
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "Join" not in plan
 
 
