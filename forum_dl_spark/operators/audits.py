@@ -93,9 +93,13 @@ def postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
+    # r6: the (doc, term) DISTINCT is per-document by construction —
+    # array_distinct inside the projection drops the row-level distinct
+    # exchange (the winnow_fingerprints trick); identical rows
     pairs = d.select(
-        "doc_id", F.explode(F.expr(_TOK)).alias("term")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_TOK))).alias("term"),
+    )
     w = Window.partitionBy("term").orderBy("doc_id")
     g = pairs.withColumn(
         "gap", F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(-1))

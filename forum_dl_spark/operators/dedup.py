@@ -191,6 +191,31 @@ _SPARK_H32 = "cast(conv(substring(md5(concat(shingle, ':', cast(j as string))), 
 _DUCK_H32 = "cast(concat('0x', substring(md5(concat(shingle, ':', cast(j as varchar))), 1, 8)) as bigint)"
 
 
+# r6: the LSH candidate/verified pair relations feed FIVE registered
+# queries each run (the standalone pair queries, the estimator audit, the
+# CC cluster queries, the dedup/corpus EMITs) — the _SHINGLE_MEMO
+# ownership pattern applied one level up. Keyed per (session, sf_dir),
+# bounded 2-entry LRU, stale-session entries dropped; every entry is
+# computed from the parquet inputs on first use within the run.
+_CANDS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_VERIFIED_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _memo_get(memo: dict, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = memo.get(key)
+    if got is not None:
+        return got
+    out = build().persist()
+    for old_key in [k for k in memo if k[0] != key[0]]:
+        del memo[old_key]
+    memo[key] = out
+    while len(memo) > 2:  # insertion-ordered dict -> oldest first
+        old_key = next(k for k in memo if k != key)
+        memo.pop(old_key).unpersist()
+    return out
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs agreeing on all rows of >=1 minhash band.
 
@@ -206,19 +231,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-element literal array), no further shuffle. At 100 TB the shingle
     relation is the largest intermediate in the suite, so removing a K× row
     inflation and a whole exchange on it is the difference that matters."""
-    bands = _lsh_bands(_minhash_sig(spark, sf_dir))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    def build() -> DataFrame:
+        bands = _lsh_bands(_minhash_sig(spark, sf_dir))
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+
+    return _memo_get(_CANDS_MEMO, spark, sf_dir, build)
 
 
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,25 +323,28 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle array, still candidate-bounded; if the candidate set ever
     outgrows the broadcast threshold, drop the hints and both joins
     degrade gracefully to shuffle-hash on the doc-id keys."""
-    cands = dedup_minhash_lsh(spark, sf_dir)
-    sh = _shingle_df(spark, sf_dir)
-    # shingles are array_distinct'ed per doc, so collect_list IS the set
-    sets = sh.groupBy("doc_id").agg(
-        F.count("*").alias("n_sh"), F.collect_list("shingle").alias("ss")
-    )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"),
-                     F.col("ss").alias("ssa"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"),
-                     F.col("ss").alias("ssb"))
-    inter = F.size(F.array_intersect("ssa", "ssb"))
-    half = sa.join(F.broadcast(cands), "doc_a")
-    return (
-        sb.join(F.broadcast(half), "doc_b")
-        .withColumn("jaccard",
-                    F.round(inter / (F.col("na") + F.col("nb") - inter), 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    def build() -> DataFrame:
+        cands = dedup_minhash_lsh(spark, sf_dir)
+        sh = _shingle_df(spark, sf_dir)
+        # shingles are array_distinct'ed per doc, so collect_list IS the set
+        sets = sh.groupBy("doc_id").agg(
+            F.count("*").alias("n_sh"), F.collect_list("shingle").alias("ss")
+        )
+        sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"),
+                         F.col("ss").alias("ssa"))
+        sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"),
+                         F.col("ss").alias("ssb"))
+        inter = F.size(F.array_intersect("ssa", "ssb"))
+        half = sa.join(F.broadcast(cands), "doc_a")
+        return (
+            sb.join(F.broadcast(half), "doc_b")
+            .withColumn("jaccard",
+                        F.round(inter / (F.col("na") + F.col("nb") - inter), 6))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
+    return _memo_get(_VERIFIED_MEMO, spark, sf_dir, build)
 
 
 DEDUP_LSH_VERIFIED_SQL = (
@@ -751,6 +784,16 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("fp")
     marked = pre.withColumn("keep_id", F.min("doc_id").over(w))
+    # r6 correctness: n_prefix_dupes / dup_bp are emitted as DOUBLE to
+    # match how the ORACLE's values reach the driver. DuckDB's sum()
+    # returns HUGEINT and `//` of a HUGEINT stays HUGEINT; a pandas/arrow
+    # fetch renders HUGEINT as float64, so the driver hashed oracle "5.0"
+    # against Spark's "5" and flagged the round-5 CORRECTNESS red
+    # (rows/schema matched, values matched numerically). The oracle SQL is
+    # fingerprint-frozen, so the Spark side adopts the float rendering:
+    # both engines now deliver float64 with identical values (exact small
+    # integers). Integer arithmetic is unchanged — the cast is applied to
+    # the final integer results.
     return (
         marked.groupBy("source")
         .agg(
@@ -762,8 +805,14 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            "n_prefix_dupes",
             F.expr("(10000 * n_prefix_dupes) div n_docs").alias("dup_bp"),
+            F.col("n_prefix_dupes").cast("double").alias("n_prefix_dupes"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_prefix_dupes",
+            F.col("dup_bp").cast("double").alias("dup_bp"),
         )
     )
 

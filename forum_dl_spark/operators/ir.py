@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._par import spread
+from ._par import materialize_cp, spread
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,17 +70,21 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     q = ", ".join(f"'{t}'" for t in BM25_QUERY)
     d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id",
-        F.expr(_TOK).alias("t"),
-    ).select(
-        "doc_id",
-        F.size("t").cast("long").alias("dl"),
-        F.explode(F.expr(f"filter(t, x -> x in ({q}))")).alias("term"),
+    # r6: tokenize ONCE — the stats aggregate (N/avgdl over ALL docs) and
+    # the query-term tf table both consumed their own full tokenize pass
+    # (Spark plans no common-subplan reuse); materialize the narrow
+    # (doc_id, dl, query-term array) projection and derive both from it
+    base, _ = materialize_cp(
+        d.select("doc_id", F.expr(_TOK).alias("t")).select(
+            "doc_id",
+            F.size("t").cast("long").alias("dl"),
+            F.expr(f"filter(t, x -> x in ({q}))").alias("qt"),
+        )
     )
+    toks = base.select("doc_id", "dl", F.explode("qt").alias("term"))
     tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
     # corpus stats: N + avgdl over ALL docs (not just query-term hits)
-    stats = d.select(F.expr(f"size({_TOK})").cast("long").alias("dl")).agg(
+    stats = base.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -525,16 +529,30 @@ _WINNOW_H_EXPR = (
     f"transform(sequence(1, greatest(length(nt) - {WINNOW_K} + 1, 1)), "
     f"i -> cast(conv(substring(md5(substring(nt, i, {WINNOW_K})), 1, 8), 16, 10) as bigint))"
 )
-# rightmost-min per window: position = j + w - position_in_reversed_slice.
-# h MUST be a materialized column (not inlined): higher-order-function
-# lambdas get no common-subexpression elimination, so an inlined h would be
-# rebuilt (O(n) md5 calls) per window element — O(n^2) per document.
+# rightmost-min per window. h MUST be a materialized column (not inlined):
+# higher-order-function lambdas get no common-subexpression elimination, so
+# an inlined h would be rebuilt (O(n) md5 calls) per window element —
+# O(n^2) per document.
+#
+# r6: ONE fold per window instead of three slices + reverse +
+# array_position + two array_mins (HOF lambdas get no CSE, so each of
+# those rescanned/reallocated the window). The fold keeps (mn, idx, k):
+# ``x <= mn`` keeps the LAST minimum — exactly the rightmost-min rule —
+# and the finish lambda reconstructs the same position arithmetic the
+# reverse/array_position form produced, including the short-window case
+# (L < w only when the whole doc is shorter than one window):
+# pos = j + w - (L - idx). Identical (pos, fp) pairs, ~3x less per-window
+# array work in the projection that dominates this operator's cost.
 _WINNOW_WIN_EXPR = (
     f"transform(sequence(1, greatest(size(h) - {WINNOW_W} + 1, 1)), "
-    f"j -> struct("
-    f"cast(j + {WINNOW_W} - array_position(reverse(slice(h, j, {WINNOW_W})), "
-    f"array_min(slice(h, j, {WINNOW_W}))) as int) as pos, "
-    f"array_min(slice(h, j, {WINNOW_W})) as fp))"
+    f"j -> aggregate(slice(h, j, {WINNOW_W}), "
+    f"named_struct('mn', 9223372036854775807L, 'i', -1, 'k', 0), "
+    f"(acc, x) -> if(x <= acc.mn, "
+    f"named_struct('mn', x, 'i', acc.k, 'k', acc.k + 1), "
+    f"named_struct('mn', acc.mn, 'i', acc.i, 'k', acc.k + 1)), "
+    f"acc -> named_struct("
+    f"'pos', cast(j + {WINNOW_W} - (acc.k - acc.i) as int), "
+    f"'fp', acc.mn)))"
 )
 
 
@@ -560,12 +578,22 @@ def _winnow_fps_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))").alias("nt"),
     ).filter(F.length("nt") >= WINNOW_K)
+    # r6: the DISTINCT is per-document by construction (doc_id is in the
+    # key, and every duplicate (pos, fp) comes from adjacent windows of
+    # the SAME document selecting the same gram), so it folds into an
+    # array_distinct INSIDE the projection — the row-level distinct()
+    # previously exchanged the full pre-dedup selection (~one row per
+    # window) just to drop within-row duplicates. Plan: 2 Exchange -> 1
+    # (only the scan-spread round-robin remains); identical rows.
     fps = (
         norm.withColumn("h", F.expr(_WINNOW_H_EXPR))
-        .select("doc_id", F.explode(F.expr(_WINNOW_WIN_EXPR)).alias("w"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(_WINNOW_WIN_EXPR))).alias("w"),
+        )
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
     )
-    out = fps.distinct().persist()
+    out = fps.persist()
     for old_key in [k for k in _WINNOW_MEMO if k[0] != key[0]]:
         del _WINNOW_MEMO[old_key]
     _WINNOW_MEMO[key] = out

@@ -93,14 +93,22 @@ def mix_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice — the small-high-quality-source accounting from The Pile /
     LLaMA).  All-integer: exact isqrt + integer div."""
     s = _source_stats(spark, sf_dir)
+    # r6 correctness: the four sum-derived columns are emitted as DOUBLE
+    # to match the oracle's delivery — DuckDB sum()/`//`-of-sum produce
+    # HUGEINT, which a pandas/arrow fetch renders as float64 (the exact
+    # bug class that made dedup_prefix the round-5 driver red; caught
+    # here preemptively by gate_mimic's r6 dtype audit). Values are the
+    # same exact integers; the oracle SQL is fingerprint-frozen.
     return s.select(
         "source",
         "n_docs",
-        "n_tokens",
+        F.col("n_tokens").cast("double").alias("n_tokens"),
         "sqrt_tokens",
-        "weight_bp",
-        "budget_tokens",
-        F.expr("(10000 * budget_tokens) div n_tokens").alias("epochs_bp"),
+        F.col("weight_bp").cast("double").alias("weight_bp"),
+        F.col("budget_tokens").cast("double").alias("budget_tokens"),
+        F.expr("(10000 * budget_tokens) div n_tokens")
+        .cast("double")
+        .alias("epochs_bp"),
     )
 
 
@@ -171,8 +179,14 @@ def mix_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_before") < F.col("budget_tokens"))
     )
+    # cum_before cast to DOUBLE: DuckDB's window sum() is HUGEINT and a
+    # pandas/arrow fetch renders it float64 (see mix_weights_temperature)
     return picked.select(
-        "doc_id", "source", "n_tok", "pick_rank", "cum_before"
+        "doc_id",
+        "source",
+        "n_tok",
+        "pick_rank",
+        F.col("cum_before").cast("double").alias("cum_before"),
     )
 
 

@@ -141,9 +141,15 @@ def _cc_star(sym: DataFrame, labels: DataFrame) -> tuple[DataFrame, int]:
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         mins2 = canon.groupBy("u").agg(F.min("v").alias("m"))
-        # full-count materializing action: the exceptAll convergence probe
-        # below uses limit(1) and would leave the cache partially built,
-        # letting the checkpoint's stats fall back to the estimated plan
+        # per-round checkpoint is REQUIRED here (not just the stats fix):
+        # each round's plan references the previous round's frame ~4x
+        # (nbr union + join + small-star union), so without truncation the
+        # plan TREE grows ~4^rounds and even rendering the cache name
+        # (plan.toString inside persist) OOMs the driver. materialize_cp
+        # bounds both the tree and the carried stats. Full-count
+        # materializing action: the exceptAll convergence probe below uses
+        # limit(1) and would leave the cache partially built, letting the
+        # checkpoint's stats fall back to the estimated plan.
         small, n_edges = materialize_cp(
             canon.join(mins2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -750,24 +756,37 @@ DSIR_TOPK = 50
 _DSIR_MODEL_MEMO: dict[tuple[str, str], tuple] = {}
 
 
+# r6: the hashed token relation feeds TWO corpus passes (model fit +
+# scoring) in dsir_weights and a third in dsir_apply; the md5-per-token
+# projection is the dominant cost, so it is persisted per (session,
+# sf_dir) — the _SHINGLE_MEMO ownership pattern. (The reference DSIR
+# streams the corpus twice; persisting the narrow (doc_id, tgt, f) rows
+# trades bounded memory for the second tokenize+hash pass.)
+_DSIR_TOK_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _dsir_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _memo_get
     from .textops import qf_keep_cond
 
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        qf_keep_cond().cast("long").alias("tgt"),
-        F.explode(
-            F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
-        ).alias("token"),
-    ).select(
-        "doc_id",
-        "tgt",
-        F.expr(
-            f"cast(conv(substring(md5(concat('dsir:', token)), 1, 8),"
-            f" 16, 10) as bigint) % {DSIR_B}"
-        ).alias("f"),
-    )
+    def build() -> DataFrame:
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            qf_keep_cond().cast("long").alias("tgt"),
+            F.explode(
+                F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+            ).alias("token"),
+        ).select(
+            "doc_id",
+            "tgt",
+            F.expr(
+                f"cast(conv(substring(md5(concat('dsir:', token)), 1, 8),"
+                f" 16, 10) as bigint) % {DSIR_B}"
+            ).alias("f"),
+        )
+
+    return _memo_get(_DSIR_TOK_MEMO, spark, sf_dir, build)
 
 
 def _fit_dsir(spark: SparkSession, sf_dir: str) -> tuple:
@@ -1161,8 +1180,9 @@ def _fit_nbq(spark: SparkSession, sf_dir: str) -> tuple:
     # TRAIN split is bounded by the integer score range, not the corpus
     hist = sorted(
         (int(r["score"]), int(r["n"]), int(r["npos"]))
-        for r in train.select(
-            "y", F.expr(_nbq_score_expr(w_arr, base, prior)).alias("score")
+        for r in train.select("y", F.expr(_NBQ_TOKS).alias("ws"))
+        .select(
+            "y", F.expr(_nbq_score_expr(w_arr, base, prior, "ws")).alias("score")
         )
         .groupBy("score")
         .agg(F.count("*").alias("n"), F.sum("y").alias("npos"))
@@ -1186,17 +1206,23 @@ def _fit_nbq(spark: SparkSession, sf_dir: str) -> tuple:
     return w_arr, base, prior, theta
 
 
-def _nbq_score_expr(w_arr: str, base: int, prior: int) -> str:
+def _nbq_score_expr(w_arr: str, base: int, prior: int, toks: str = _NBQ_TOKS) -> str:
     """Per-doc classifier score as ONE self-contained SQL expression over
-    ``text`` — a pure codegen projection, no join, no shuffle."""
+    ``text`` — a pure codegen projection, no join, no shuffle.
+
+    ``toks``: the token-array SQL to score. Pass a materialized column
+    name (e.g. ``"ws"`` projected beforehand) to evaluate the tokenizer
+    split ONCE per row — the default self-contained form inlines it twice
+    (the fold and the length term), and higher-order-function lambdas get
+    no common-subexpression elimination."""
     rel = (
-        f"aggregate(transform({_NBQ_TOKS},"
+        f"aggregate(transform({toks},"
         f" t -> element_at({w_arr}, cast({_nbq_bucket_spark('t')} as int) + 1)),"
         " cast(0 as bigint), (a, x) -> a + x)"
     )
     return (
         f"cast({prior} as bigint) + {rel}"
-        f" + cast(size({_NBQ_TOKS}) as bigint) * cast({base} as bigint)"
+        f" + cast(size({toks}) as bigint) * cast({base} as bigint)"
     )
 
 
@@ -1214,7 +1240,10 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = hold.select(
         qf_keep_cond().cast("long").alias("label"),
-        F.expr(_nbq_score_expr(w_arr, base, prior)).alias("score"),
+        F.expr(_NBQ_TOKS).alias("ws"),
+    ).select(
+        "label",
+        F.expr(_nbq_score_expr(w_arr, base, prior, "ws")).alias("score"),
     )
     return (
         scored.groupBy(
@@ -1244,7 +1273,13 @@ def quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         qf_keep_cond().cast("long").alias("label"),
-        F.expr(_nbq_score_expr(w_arr, base, prior)).alias("score"),
+        F.expr(_NBQ_TOKS).alias("ws"),
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        "label",
+        F.expr(_nbq_score_expr(w_arr, base, prior, "ws")).alias("score"),
     )
     return scored.filter(F.col("score") > theta)
 

@@ -910,15 +910,23 @@ def _pq_codebook(spark: SparkSession, sf_dir: str):
 
 def _pq_dist_arr(m: int, cb_m: list, sub: int) -> str:
     """SQL expr: array of integer L2² distances from subvector m of column
-    ``q`` to each codeword (code id = array position - 1)."""
-    ds = []
-    for vec in cb_m:
-        arr = "array(" + ",".join(f"{int(x)}L" for x in vec) + ")"
-        ds.append(
-            f"aggregate(zip_with(slice(q, {m * sub + 1}, {sub}), {arr},"
-            " (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (s, x) -> s + x)"
-        )
-    return "array(" + ",".join(ds) + ")"
+    ``q`` to each codeword (code id = array position - 1).
+
+    r6: the codebook enters the plan as ONE nested array literal consumed
+    by ONE ``transform`` lambda, not as |codebook| separate aggregate
+    expressions. Same integers in the same element order — but the
+    expression tree shrinks ~|codebook|x, which is what matters here: the
+    database relation is only a few hundred rows, and the measured cost of
+    these queries was driver-side analysis/codegen of the ~640-expression
+    projection (6-12 s per invocation), not execution."""
+    cb_lit = "array(" + ",".join(
+        "array(" + ",".join(f"{int(x)}L" for x in vec) + ")" for vec in cb_m
+    ) + ")"
+    return (
+        f"transform({cb_lit}, cw -> aggregate("
+        f"zip_with(slice(q, {m * sub + 1}, {sub}), cw,"
+        " (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (s, x) -> s + x))"
+    )
 
 
 def _pq_with_ds(spark: SparkSession, sf_dir: str, cb, sub: int) -> DataFrame:
@@ -1168,15 +1176,16 @@ def _ivfpq_pivots(spark: SparkSession, sf_dir: str) -> list:
 
 def _ivfpq_coarse_arr(pivots: list) -> str:
     """SQL expr: array of integer L2² distances from column ``q`` to each
-    coarse pivot (pid = array position - 1)."""
-    ds = []
-    for vec in pivots:
-        arr = "array(" + ",".join(f"{int(x)}L" for x in vec) + ")"
-        ds.append(
-            f"aggregate(zip_with(q, {arr}, (x, y) -> (x - y) * (x - y)),"
-            " cast(0 as bigint), (s, x) -> s + x)"
-        )
-    return "array(" + ",".join(ds) + ")"
+    coarse pivot (pid = array position - 1). Nested-literal + one
+    ``transform`` for the same tree-size reason as ``_pq_dist_arr``."""
+    piv_lit = "array(" + ",".join(
+        "array(" + ",".join(f"{int(x)}L" for x in vec) + ")" for vec in pivots
+    ) + ")"
+    return (
+        f"transform({piv_lit}, cw -> aggregate("
+        "zip_with(q, cw, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (s, x) -> s + x))"
+    )
 
 
 def _ivfpq_base(spark: SparkSession, sf_dir: str, cb, sub: int, pivots: list) -> DataFrame:

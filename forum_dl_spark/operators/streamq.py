@@ -27,6 +27,17 @@ from pyspark.sql import functions as F
 _SEQ = itertools.count()
 
 
+def _input_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of the bounded drain input — sizes the state exchange
+    (see streaming.run_available_now)."""
+    import os
+
+    try:
+        return os.path.getsize(os.path.join(sf_dir, name))
+    except OSError:
+        return 0
+
+
 def stream_dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drained streaming first-seen dedup == the batch distinct fingerprint
     set (arrival-order-independent, so directly hash-comparable)."""
@@ -36,6 +47,7 @@ def stream_dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dedup_exact(spark, sf_dir),
         f"gate_stream_dedup_{next(_SEQ)}",
         "append",
+        input_bytes=_input_bytes(sf_dir, "documents.parquet"),
     )
     return res.select("fingerprint")
 
@@ -59,6 +71,7 @@ def stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_sessionize(spark, f"{sf_dir}/events.parquet"),
         f"gate_stream_sessions_{next(_SEQ)}",
         "update",
+        input_bytes=_input_bytes(sf_dir, "events.parquet"),
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (

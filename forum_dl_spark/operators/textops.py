@@ -205,6 +205,38 @@ _CONTAM_MOD = 7         # deterministic benchmark split: doc_id % 7 == 2
 _CONTAM_RES = 2
 
 
+# r6: the (doc_id, n-gram shingle) relation is rebuilt by every
+# contamination pass — contamination_ngram (1x), decontaminate_apply (1x
+# via the detect query), contamination_bloom (3x: bench-position collect,
+# training candidates, exact-verify side). One persisted build per
+# (session, sf_dir) — the _SHINGLE_MEMO ownership pattern.
+_CONTAM_SH_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _contam_sh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _memo_get
+
+    def build() -> DataFrame:
+        d = _docs(spark, sf_dir)
+        toks = d.select(
+            "doc_id",
+            F.expr(r"filter(split(text, '\\s+'), x -> x != '')").alias("t"),
+        )
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"case when size(t) < {_CONTAM_N} "
+                    f"then cast(array() as array<string>) "
+                    f"else transform(sequence(1, size(t) - {_CONTAM_N} + 1), "
+                    f"i -> concat_ws(' ', slice(t, i, {_CONTAM_N}))) end"
+                )
+            ).alias("s"),
+        )
+
+    return _memo_get(_CONTAM_SH_MEMO, spark, sf_dir, build)
+
+
 def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection: flag training documents sharing
     any word ``n``-gram with a held-out benchmark set (the standard
@@ -216,21 +248,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benchmark distinct and the final per-doc aggregate. At 100 TB the
     broadcast becomes a bloom filter over benchmark shingles with an exact
     re-check on the survivors."""
-    d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.expr(r"filter(split(text, '\\s+'), x -> x != '')").alias("t")
-    )
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"case when size(t) < {_CONTAM_N} "
-                f"then cast(array() as array<string>) "
-                f"else transform(sequence(1, size(t) - {_CONTAM_N} + 1), "
-                f"i -> concat_ws(' ', slice(t, i, {_CONTAM_N}))) end"
-            )
-        ).alias("s"),
-    )
+    sh = _contam_sh(spark, sf_dir)
     is_bench = F.col("doc_id") % _CONTAM_MOD == _CONTAM_RES
     bench = sh.filter(is_bench).select("s").distinct()
     return (
@@ -338,21 +356,7 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan → map-only bloom filter → broadcast verify join → ONE doc-keyed
     aggregate (distinct folded into countDistinct). Plan-pinned: no
     SortMergeJoin, exactly one BroadcastHashJoin, bloom filter below it."""
-    d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.expr(r"filter(split(text, '\\s+'), x -> x != '')").alias("t")
-    )
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"case when size(t) < {_CONTAM_N} "
-                f"then cast(array() as array<string>) "
-                f"else transform(sequence(1, size(t) - {_CONTAM_N} + 1), "
-                f"i -> concat_ws(' ', slice(t, i, {_CONTAM_N}))) end"
-            )
-        ).alias("s"),
-    )
+    sh = _contam_sh(spark, sf_dir)
     hashes = sh.select(
         "doc_id",
         "s",
@@ -1111,20 +1115,36 @@ def _train_bpe(spark: SparkSession, sf_dir: str) -> list:
     if cached is not None:
         return cached
     d = _docs(spark, sf_dir)
-    words = d.select(
-        F.explode(
-            F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
-        ).alias("w")
-    ).filter(F.length("w") >= 2)
+    # r6: train on the FREQUENCY-WEIGHTED WORD DICTIONARY, not on word
+    # occurrences — the classic BPE-training representation (Sennrich et
+    # al. 2016 §3.2 train on a word->count dict; so does every production
+    # tokenizer trainer). Pair counts are identical integers: a pair
+    # occurring p times inside word w contributes p * count(w) either way.
+    # This turns R rounds x full-corpus re-symbolization (the dominant
+    # cost: a per-character regexp over every word occurrence, per round)
+    # into ONE map-side-combined word count plus R rounds over the tiny
+    # persisted dictionary (vocabulary-sized, not corpus-sized).
+    words = (
+        d.select(
+            F.explode(
+                F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wn"))
+        .persist()
+    )
     cur = F.regexp_replace(F.col("w"), "(.)", "[$1]")
     rules: list[tuple] = []
     for rnd in range(1, BPE_MERGE_ROUNDS + 1):
         top = (
-            words.select(cur.alias("s"))
+            words.select(cur.alias("s"), "wn")
             .select(
                 F.split(
                     F.expr("substring(s, 2, length(s) - 2)"), r"\]\["
-                ).alias("y")
+                ).alias("y"),
+                "wn",
             )
             .filter(F.size("y") >= 2)
             .select(
@@ -1134,10 +1154,11 @@ def _train_bpe(spark: SparkSession, sf_dir: str) -> list:
                         " i -> struct(element_at(y, i) as lhs,"
                         " element_at(y, i + 1) as rhs))"
                     )
-                ).alias("p")
+                ).alias("p"),
+                "wn",
             )
             .groupBy("p.lhs", "p.rhs")
-            .agg(F.count("*").alias("cnt"))
+            .agg(F.sum("wn").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
             .limit(1)
             .collect()
@@ -1147,6 +1168,7 @@ def _train_bpe(spark: SparkSession, sf_dir: str) -> list:
         a, b, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
         rules.append((rnd, a, b, a + b, cnt))
         cur = F.replace(cur, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+    words.unpersist()
     for old_key in [k for k in _BPE_RULES_MEMO if k[0] != key[0]]:
         del _BPE_RULES_MEMO[old_key]
     _BPE_RULES_MEMO[key] = rules

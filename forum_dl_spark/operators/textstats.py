@@ -147,6 +147,11 @@ def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = sh.select(
         "source", F.expr(_H32_SPARK).alias("h")
     ).distinct()
+    # r6 note: materializing this once for the two consumers was TRIED and
+    # measured SLOWER at the 10x proxy sf (1.9 s -> 4.3 s): the persist
+    # write + checkpoint copy of the multi-million-row distinct relation
+    # costs more than one extra tokenize+distinct rebuild. Left as two
+    # scans on purpose.
     exact = hashed.groupBy("source").agg(
         F.count("*").alias("exact_distinct")
     )
@@ -777,6 +782,10 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.expr(_H32_SPARK).alias("h"))
         .distinct()
     )
+    # r6 note: materializing ss once for the two consumers was TRIED and
+    # measured a small net LOSS at the 10x proxy sf (7.7 s -> 8.6 s) —
+    # same verdict as distinct_sketch: the checkpoint copy of the
+    # multi-million-row relation exceeds one rebuild. Two scans kept.
     totals = ss.groupBy("source").agg(F.count("*").alias("n"))
     pairs = (
         ss.groupBy("h")
@@ -941,16 +950,22 @@ def template_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", "source", F.expr(_TOK).alias("w")).filter(
         F.size("w") >= n
     )
+    # r6: the (doc, gram) DISTINCT is per-document by construction (each
+    # row's grams come from that document alone), so it folds into an
+    # array_distinct inside the projection — drops the row-level distinct
+    # exchange over the full gram relation (the winnow_fingerprints trick)
     grams = toks.select(
         "doc_id",
         "source",
         F.explode(
-            F.expr(
-                f"transform(sequence(1, size(w) - {n - 1}),"
-                f" i -> concat_ws(' ', slice(w, i, {n})))"
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {n})))"
+                )
             )
         ).alias("gram"),
-    ).distinct()
+    )
     df_counts = grams.groupBy("source", "gram").agg(
         F.count("*").alias("df")
     )
@@ -990,15 +1005,19 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.expr(_TOK).alias("w")).filter(
         F.size("w") >= n
     )
+    # r6: per-document distinct folds into array_distinct (see
+    # template_ngrams) — one less full-relation exchange
     grams = toks.select(
         "doc_id",
         F.explode(
-            F.expr(
-                f"transform(sequence(1, size(w) - {n - 1}),"
-                f" i -> concat_ws(' ', slice(w, i, {n})))"
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {n})))"
+                )
             )
         ).alias("gram"),
-    ).distinct()
+    )
     owned = grams.withColumn(
         "owner", F.min("doc_id").over(Window.partitionBy("gram"))
     )

@@ -108,6 +108,32 @@ def main() -> int:
             and sorted(cols) == sorted(ocols)
             and _canon(rows, cols) == _canon(orows, ocols)
         )
+        # r6 (round-5 verdict ask #3): the driver fetches the oracle via
+        # pandas, where DuckDB HUGEINT (any sum()) lands as float64 and
+        # renders "5.0" against Spark's integer "5" — a bug class this
+        # mimic's fetchall() path (Python ints) cannot see. Audit the
+        # DTYPE MAPPING instead of re-fetching data: a LIMIT-0 pandas
+        # fetch exposes each column's pandas dtype; flag any column the
+        # Spark side types integral but the oracle delivers as float
+        # (or vice versa, e.g. dedup_prefix's deliberate double columns).
+        dtype_bad = []
+        try:
+            pdt = con.execute(
+                f"SELECT * FROM ({o[name]}) _q LIMIT 0"
+            ).df().dtypes
+            sk = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            for c, dt in pdt.items():
+                s_int = sk.get(c, "") in ("tinyint", "smallint", "int", "bigint")
+                s_flt = sk.get(c, "") in ("float", "double")
+                if (s_int and dt.kind == "f") or (s_flt and dt.kind == "i"):
+                    dtype_bad.append(f"{c}: spark={sk.get(c)} oracle_pd={dt}")
+        except Exception as e:  # noqa: BLE001
+            dtype_bad.append(f"dtype-audit-error: {e}")
+        if dtype_bad:
+            ok = False
+            failures.append(name)
+            print(f"{name:28s} DTYPE-MISMATCH {dtype_bad}")
+            continue
         if not ok:
             failures.append(name)
         print(

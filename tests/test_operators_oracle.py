@@ -72,7 +72,22 @@ def test_query_matches_oracle(spark, name, fn, sql):
     con = _duck()
     res = con.sql(sql)
     d_cols = res.columns
+    # r6: driver-faithful oracle typing — the driver fetches via
+    # pandas/arrow, where DuckDB HUGEINT (any sum()) lands as float64;
+    # fetchall() gives Python ints instead and hid the round-5
+    # dedup_prefix red. Coerce HUGEINT columns to float so the dtype-
+    # strict comparison below sees exactly what the driver hashes.
+    huge = [i for i, t in enumerate(res.types)
+            if str(t).upper() in ("HUGEINT", "UHUGEINT")]
     d_rows = res.fetchall()
+    if huge:
+        d_rows = [
+            tuple(
+                float(v) if i in huge and v is not None else v
+                for i, v in enumerate(r)
+            )
+            for r in d_rows
+        ]
 
     sc, sr = _normalize(s_cols, s_rows)
     dc, dr = _normalize(d_cols, d_rows)
