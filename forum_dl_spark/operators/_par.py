@@ -37,6 +37,29 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(n)
 
 
+# Memoized reader DataFrames per (session, path). A DataFrame is an
+# immutable LAZY plan — nothing is cached or precomputed here; what the
+# memo saves is re-CONSTRUCTING the reader for every query: each
+# ``spark.read.parquet(path)`` pays file listing + parquet footer/schema
+# read (~85 ms) and each ``spread()`` an RDD-conversion round trip
+# (~40 ms), and a full 128-query run constructs readers hundreds of times
+# (~30 s of pure driver-side setup measured at the 10x proxy sf). Inputs
+# are immutable fixture tables, so the cached file listing never staleness.
+_READER_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def read_spread(spark, path: str) -> DataFrame:
+    """``spread(spark.read.parquet(path))``, memoized per (session, path)."""
+    key = (spark.sparkContext.applicationId, path)
+    got = _READER_MEMO.get(key)
+    if got is None:
+        got = spread(spark.read.parquet(path))
+        for old_key in [k for k in _READER_MEMO if k[0] != key[0]]:
+            del _READER_MEMO[old_key]
+        _READER_MEMO[key] = got
+    return got
+
+
 def materialize_cp(df: DataFrame, action=None) -> tuple[DataFrame, int]:
     """Truncate an iterative round's lineage with BOUNDED planning stats.
 
@@ -72,3 +95,43 @@ def materialize_cp(df: DataFrame, action=None) -> tuple[DataFrame, int]:
     out = df.localCheckpoint()
     df.unpersist()
     return out, result
+
+
+class RoundCheckpointer:
+    """``materialize_cp`` at ONE job per round instead of two.
+
+    Same stats/tree-truncation guarantees (persist first so the
+    checkpoint's carried stats come from the materialized cache; a
+    checkpoint every round so the plan tree cannot compound), but the
+    ``localCheckpoint`` is LAZY: its partitions are saved as a side effect
+    of the NEXT round's materializing action (whose plan computes through
+    this round's frame), so the separate eager-checkpoint copy job
+    disappears. The previous round's transient cache is dropped only
+    after the current action has run — i.e. after the previous lazy
+    checkpoint is guaranteed materialized.
+
+    Call ``finish(frame)`` once after the loop with whatever frame is
+    returned to the caller: it forces the last lazy checkpoint (one cheap
+    job over cached data) and drops the final cache.
+    """
+
+    def __init__(self) -> None:
+        self._prev: DataFrame | None = None
+
+    def step(self, df: DataFrame, action) -> tuple[DataFrame, int]:
+        df = df.persist()
+        result = action(df)  # materializes this cache AND, through the
+        # plan lineage, the previous round's lazy checkpoint
+        out = df.localCheckpoint(eager=False)
+        if self._prev is not None:
+            self._prev.unpersist()
+        self._prev = df
+        return out, result
+
+    def finish(self, out: DataFrame | None = None) -> DataFrame | None:
+        if out is not None:
+            out.count()  # force the last lazy checkpoint off the cache
+        if self._prev is not None:
+            self._prev.unpersist()
+            self._prev = None
+        return out

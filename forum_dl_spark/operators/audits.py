@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._par import spread
+from ._par import read_spread
 
 from .similarity import N_QUERIES
 from .textops import BPE_DUCK, _BPE_EXPR
@@ -57,7 +57,7 @@ from .textstats import _TOK, _TOK_DUCK
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return read_spread(spark, f"{sf_dir}/documents.parquet")
 
 
 def _h32(col: str) -> str:

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._par import spread
+from ._par import read_spread
 
 SHINGLE_K = 8
 STOP_SHINGLE_DF = 100  # drop shingles appearing in more than this many docs
@@ -39,7 +39,7 @@ LSH_BANDS = 4  # 4 bands x 2 rows
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return read_spread(spark, f"{sf_dir}/documents.parquet")
 
 
 # --- exact dedup ------------------------------------------------------------

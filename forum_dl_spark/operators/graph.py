@@ -27,11 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._par import spread
+from ._par import read_spread
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return read_spread(spark, f"{sf_dir}/documents.parquet")
 
 
 _PR_ITERS = 5      # fixed iteration count (unrolled in the DuckDB oracle)

@@ -29,11 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._par import materialize_cp, spread
+from ._par import materialize_cp, read_spread
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return read_spread(spark, f"{sf_dir}/documents.parquet")
 
 
 _TOK = r"filter(split(lower(text), '\\s+'), x -> x != '')"

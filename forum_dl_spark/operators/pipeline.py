@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._par import materialize_cp, spread
+from ._par import materialize_cp, read_spread
 
 from .dedup import (
     _DUCK_SHINGLE_CTE,
@@ -43,7 +43,7 @@ MAX_CC_ITERS = 50
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return read_spread(spark, f"{sf_dir}/documents.parquet")
 
 
 def _pointer_jump(labels: DataFrame) -> DataFrame:
@@ -118,8 +118,11 @@ def _cc_star(sym: DataFrame, labels: DataFrame) -> tuple[DataFrame, int]:
     steps at least halves tree heights; the fixpoint is a star forest whose
     centers are component minima."""
     # parent edges (child, parent), child >= parent not yet guaranteed
+    from ._par import RoundCheckpointer
+
     edges = sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     prev_n_edges = None
+    rc = RoundCheckpointer()
     for rounds in range(1, MAX_CC_ITERS + 1):
         # --- large-star ---
         nbr = edges.unionByName(
@@ -145,17 +148,18 @@ def _cc_star(sym: DataFrame, labels: DataFrame) -> tuple[DataFrame, int]:
         # each round's plan references the previous round's frame ~4x
         # (nbr union + join + small-star union), so without truncation the
         # plan TREE grows ~4^rounds and even rendering the cache name
-        # (plan.toString inside persist) OOMs the driver. materialize_cp
-        # bounds both the tree and the carried stats. Full-count
-        # materializing action: the exceptAll convergence probe below uses
-        # limit(1) and would leave the cache partially built, letting the
-        # checkpoint's stats fall back to the estimated plan.
-        small, n_edges = materialize_cp(
+        # (plan.toString inside persist) OOMs the driver. RoundCheckpointer
+        # bounds both the tree and the carried stats at one job per round.
+        # Full-count materializing action: the exceptAll convergence probe
+        # below uses limit(1) and would leave the cache partially built,
+        # letting the checkpoint's stats fall back to the estimated plan.
+        small, n_edges = rc.step(
             canon.join(mins2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(mins2.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
+            .distinct(),
+            lambda d: d.count(),
         )
         # converged when the edge relation is a fixpoint (a star forest).
         # r6: count-gated — both relations are DISTINCT edge sets, so
@@ -175,6 +179,10 @@ def _cc_star(sym: DataFrame, labels: DataFrame) -> tuple[DataFrame, int]:
             break
     else:
         raise RuntimeError(f"star CC did not converge in {MAX_CC_ITERS} rounds")
+    # the convergence probe already materialized the final lazy
+    # checkpoint; finish() forces it (no-op job over cached data) and
+    # drops the last transient cache
+    rc.finish(edges)
     # star forest -> labels; isolated nodes keep themselves
     roots = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("_root"))
     out = (
@@ -191,6 +199,9 @@ def _cc_jump(sym: DataFrame, labels: DataFrame) -> tuple[DataFrame, int]:
     """Alternating min-neighbor + pointer jumping (the default): the edge
     relation is touched once per OUTER round; the parent forest collapses
     in label-only joins."""
+    from ._par import RoundCheckpointer
+
+    rc = RoundCheckpointer()
     for rounds in range(1, MAX_CC_ITERS + 1):
         # A: min over current neighbor labels (one edge shuffle)
         neigh = (
@@ -198,7 +209,7 @@ def _cc_jump(sym: DataFrame, labels: DataFrame) -> tuple[DataFrame, int]:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("cluster_id").alias("n_min"))
         )
-        new, changed = materialize_cp(
+        new, changed = rc.step(
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
@@ -217,6 +228,10 @@ def _cc_jump(sym: DataFrame, labels: DataFrame) -> tuple[DataFrame, int]:
             lambda d: d.filter("_changed").count(),
         )
         if changed == 0:
+            # the returned labels derive from the PREVIOUS round's
+            # checkpoint, materialized by this round's count; the final
+            # round's lazy checkpoint is discarded unmaterialized
+            rc.finish(None)
             return labels, rounds
         # B: ONE pointer jump (label(d) := label(label(d))) on the new
         # parent forest. A single jump per outer round — not an inner
@@ -923,7 +938,7 @@ KM_SCALE = 10000
 
 
 def _kmeans_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
+    return read_spread(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.expr(
             f"transform(embedding, x -> cast(floor(cast(x as double) * {KM_SCALE})"

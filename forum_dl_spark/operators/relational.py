@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._par import spread
+from ._par import read_spread
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -713,7 +713,7 @@ _FRONTIER_P_DUCK = (
 def frontier_pop_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = read_spread(spark, f"{sf_dir}/documents.parquet")
     frontier = d.select(
         F.col("doc_id").alias("ord"),
         F.expr(
@@ -791,7 +791,7 @@ _URL_H32_DUCK = "CAST(concat('0x', substring(md5({x}), 1, 8)) AS BIGINT)"
 
 
 def urlseen_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = read_spread(spark, f"{sf_dir}/documents.parquet")
     host = F.expr(
         f"concat('h', {_URL_H32.format(x='cast(doc_id as string)')} % "
         f"{URLSEEN_HOSTS}, '.example')"
@@ -939,7 +939,7 @@ def _robots_rules() -> list[tuple[str, str]]:
 
 
 def robots_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = read_spread(spark, f"{sf_dir}/documents.parquet")
     path_case = "case " + " ".join(
         f"when {_URL_H32.format(x=repr('path:') + ' || cast(doc_id as string)')}"
         f" % 10 = {i} then '{p}'"

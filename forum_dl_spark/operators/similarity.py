@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._par import spread
+from ._par import read_spread
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -25,7 +25,7 @@ LSH_PLANES = 6  # 2^6 = 64 buckets
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).withColumn(
+    return read_spread(spark, f"{sf_dir}/embeddings.parquet").withColumn(
         "v", F.expr("transform(embedding, x -> cast(x as double))")
     )
 
@@ -1666,7 +1666,7 @@ SQ_LEVELS = 255      # codes in [0, 255]: int8 per dimension
 
 def _sq_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, q): embeddings floor-prescaled to integer vectors."""
-    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
+    return read_spread(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.expr(
             "transform(embedding,"
