@@ -252,7 +252,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide MinHash signature: (doc_id, mh_0..mh_{K-1}) via one exchange."""
+    """Wide MinHash signature: (doc_id, mh_0..mh_{K-1}) via one exchange.
+
+    r6 note: hashing each DISTINCT shingle once (a hash-dimension relation
+    broadcast-joined back, |distinct|·K md5s instead of |occurrences|·K)
+    was TRIED and measured SLOWER (warm noop A/B at the 10x proxy: 1.0 s
+    inline vs 2.0 s joined) — whole-stage-codegen'd md5 over occurrences
+    is cheaper than the distinct exchange + broadcast build + join it
+    replaces. Kept inline on purpose."""
     sh = _shingle_df(spark, sf_dir)
     hcol = _SPARK_H32.replace("cast(j as string)", "'{j}'")
     return sh.groupBy("doc_id").agg(
