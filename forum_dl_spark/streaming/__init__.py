@@ -225,7 +225,9 @@ def _advisory_bytes(spark: SparkSession) -> int:
             "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
         )
     ).strip().lower()
-    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "b": 1}
+    if raw.endswith("b"):  # "64mb"/"64kb"/plain "...b" byte-suffix forms
+        raw = raw[:-1]
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3}
     if raw and raw[-1] in units:
         return int(float(raw[:-1])) * units[raw[-1]]
-    return int(raw)
+    return int(raw or "67108864")
